@@ -1,0 +1,160 @@
+"""FAST corner detection (reference: kornia-imgproc/src/features/fast.rs).
+
+TPU-first formulation: the reference's per-row NEON chain-counter arc test
+(fast.rs:200,505) becomes a *dense* program — all 16 Bresenham-circle
+neighbors are static shifts of the image, the "≥N contiguous" test is an
+AND-reduce over N circular rotations of the bright/dark masks, and NMS is a
+max-pool equality. Keypoint extraction is a fixed-size top-k (scores are
+-inf outside corners), never a data-dependent compaction.
+
+Score matches cv2's FAST score semantics: the highest threshold at which the
+pixel remains a corner, computed in closed form from arc minima/maxima.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+# 16-point Bresenham circle of radius 3, clockwise from 12 o'clock
+# ((dy, dx) offsets) — the standard FAST-16 ring.
+_RING = (
+    (-3, 0), (-3, 1), (-2, 2), (-1, 3), (0, 3), (1, 3), (2, 2), (3, 1),
+    (3, 0), (3, -1), (2, -2), (1, -3), (0, -3), (-1, -3), (-2, -2), (-3, -3 + 1),
+)
+# fix last entry: (-3,-1)
+_RING = _RING[:15] + ((-3, -1),)
+
+
+def _ring_stack(gray_f: jax.Array) -> jax.Array:
+    """(H, W) → (16, H, W) of ring-neighbor values (zero-padded borders)."""
+    h, w = gray_f.shape
+    p = jnp.pad(gray_f, 3)
+    return jnp.stack([p[3 + dy : 3 + dy + h, 3 + dx : 3 + dx + w] for dy, dx in _RING])
+
+
+def fast_score(gray: jax.Array, threshold: float = 10.0, arc_length: int = 9) -> jax.Array:
+    """Dense FAST corner response (0 where not a corner).
+
+    Returns float32 (H, W). Score = max threshold keeping the corner
+    (cv2-compatible V measure).
+    """
+    x = gray.astype(jnp.float32)
+    ring = _ring_stack(x)  # (16, H, W)
+    center = x[None]
+    diff = ring - center  # (16, H, W)
+
+    n = arc_length
+    # For each of the 16 possible arc start positions, the min over the arc
+    # of `diff` (bright case) / max (dark case). Rolling AND == rolling
+    # min/max over n consecutive ring entries.
+    def arc_reduce(v, op):
+        acc = v
+        for k in range(1, n):
+            acc = op(acc, jnp.roll(v, -k, axis=0))
+        return acc  # (16,H,W): entry i = reduce over arc starting at i
+
+    arc_min = arc_reduce(diff, jnp.minimum)   # bright arcs: min(ring - c)
+    arc_max = arc_reduce(diff, jnp.maximum)   # dark arcs:   max(ring - c)
+    # bright corner strength: max over arcs of (min over arc) − must exceed t
+    bright = jnp.max(arc_min, axis=0)
+    dark = -jnp.min(arc_max, axis=0)
+    score = jnp.maximum(bright, dark)
+    score = jnp.where(score > threshold, score, 0.0)
+    # kill the 3-pixel border (ring reads zero padding there)
+    h, w = x.shape
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    valid = (ys >= 3) & (ys < h - 3) & (xs >= 3) & (xs < w - 3)
+    return jnp.where(valid, score, 0.0)
+
+
+def nms_maxpool(score: jax.Array, radius: int = 1) -> jax.Array:
+    """3×3 (or (2r+1)²) non-maximum suppression by max-pool equality."""
+    k = 2 * radius + 1
+    pooled = jax.lax.reduce_window(
+        score, -jnp.inf, jax.lax.max, (k, k), (1, 1), "SAME"
+    )
+    return jnp.where(score >= pooled, score, 0.0)
+
+
+class FastKeypoints(NamedTuple):
+    """Fixed-capacity keypoint set; ``mask`` marks valid entries."""
+
+    xy: jax.Array      # (K, 2) float32, (x, y)
+    score: jax.Array   # (K,) float32
+    mask: jax.Array    # (K,) bool
+
+
+def topk_keypoints(score_map: jax.Array, k: int) -> FastKeypoints:
+    """Extract the K strongest responses as fixed-shape keypoints."""
+    h, w = score_map.shape
+    flat = score_map.reshape(-1)
+    vals, idx = jax.lax.top_k(flat, k)
+    ys = (idx // w).astype(jnp.float32)
+    xs = (idx % w).astype(jnp.float32)
+    return FastKeypoints(
+        xy=jnp.stack([xs, ys], axis=-1),
+        score=vals,
+        mask=vals > 0.0,
+    )
+
+
+def fast_detect(
+    gray: jax.Array,
+    threshold: float = 10.0,
+    max_keypoints: int = 2048,
+    nms: bool = True,
+    arc_length: int = 9,
+) -> FastKeypoints:
+    """End-to-end FAST detection (reference FastDetector::detect_direct_u8,
+    fast.rs:76): dense score → NMS → top-k."""
+    s = fast_score(gray, threshold, arc_length)
+    if nms:
+        s = nms_maxpool(s)
+    return topk_keypoints(s, max_keypoints)
+
+
+def fast_detect_cells(
+    gray: jax.Array,
+    cell_size: int = 35,
+    threshold_high: float = 20.0,
+    threshold_low: float = 7.0,
+    per_cell: int = 8,
+    arc_length: int = 9,
+) -> FastKeypoints:
+    """Grid-cell detection with ORB-SLAM3's two-tier threshold
+    (reference features/cells.rs:141-285): each cell first tries the high
+    threshold; cells with no response fall back to the low threshold. Then
+    a per-cell top-k enforces spatial uniformity (the quadtree contract).
+    """
+    h, w = gray.shape
+    s_hi = fast_score(gray, threshold_high, arc_length)
+    s_lo = fast_score(gray, threshold_low, arc_length)
+    s_hi = nms_maxpool(s_hi)
+    s_lo = nms_maxpool(s_lo)
+
+    gy = -(-h // cell_size)
+    gx = -(-w // cell_size)
+    ph, pw = gy * cell_size - h, gx * cell_size - w
+    pad = lambda a: jnp.pad(a, ((0, ph), (0, pw)))
+    cells_hi = pad(s_hi).reshape(gy, cell_size, gx, cell_size).transpose(0, 2, 1, 3)
+    cells_lo = pad(s_lo).reshape(gy, cell_size, gx, cell_size).transpose(0, 2, 1, 3)
+    cells_hi = cells_hi.reshape(gy * gx, cell_size * cell_size)
+    cells_lo = cells_lo.reshape(gy * gx, cell_size * cell_size)
+
+    has_hi = jnp.any(cells_hi > 0, axis=1, keepdims=True)
+    cells = jnp.where(has_hi, cells_hi, cells_lo)
+
+    vals, idx = jax.lax.top_k(cells, per_cell)  # (C, per_cell)
+    cy = jnp.arange(gy * gx) // gx
+    cx = jnp.arange(gy * gx) % gx
+    py = idx // cell_size + (cy * cell_size)[:, None]
+    px = idx % cell_size + (cx * cell_size)[:, None]
+    xy = jnp.stack([px, py], axis=-1).reshape(-1, 2).astype(jnp.float32)
+    score = vals.reshape(-1)
+    mask = score > 0.0
+    return FastKeypoints(xy=xy, score=score, mask=mask)

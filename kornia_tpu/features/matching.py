@@ -1,0 +1,118 @@
+"""Descriptor matching (reference: kornia-imgproc/src/features/match.rs).
+
+MXU-native Hamming matching: for bit descriptors a, b ∈ {0,1}^256,
+``hamming(a, b) = |a| + |b| − 2·a·b`` — the full N×M distance matrix is one
+integer matmul (the reference's NEON popcount loops, match.rs:7, become a
+single MXU contraction). Lowe-ratio + cross-check are fixed-shape argmin
+post-passes.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+_BIG = 1 << 16
+
+
+class Matches(NamedTuple):
+    """Fixed-capacity matches: for each query i, ``idx[i]`` is the matched
+    train index (or -1) — a dense assignment, never a compacted list."""
+
+    idx: jax.Array    # (N,) int32 index into train set, -1 = unmatched
+    dist: jax.Array   # (N,) float32 best distance
+    mask: jax.Array   # (N,) bool valid match
+
+
+def hamming_distance_matrix(
+    a_bits: jax.Array, b_bits: jax.Array,
+    a_mask: Optional[jax.Array] = None, b_mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """(N, 256) × (M, 256) {0,1} → (N, M) int32 Hamming distances.
+
+    Invalid rows (mask False) get distance _BIG.
+    """
+    af = a_bits.astype(jnp.float32)
+    bf = b_bits.astype(jnp.float32)
+    dots = jax.lax.dot_general(
+        af, bf, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (N, M)
+    na = jnp.sum(af, axis=1, keepdims=True)
+    nb = jnp.sum(bf, axis=1, keepdims=True).T
+    d = (na + nb - 2.0 * dots).astype(jnp.int32)
+    if a_mask is not None:
+        d = jnp.where(a_mask[:, None], d, _BIG)
+    if b_mask is not None:
+        d = jnp.where(b_mask[None, :], d, _BIG)
+    return d
+
+
+def match_descriptors(
+    a_bits: jax.Array,
+    b_bits: jax.Array,
+    a_mask: Optional[jax.Array] = None,
+    b_mask: Optional[jax.Array] = None,
+    max_distance: float = 64.0,
+    ratio: Optional[float] = 0.75,
+    cross_check: bool = True,
+) -> Matches:
+    """Lowe-ratio + cross-check matcher
+    (reference match_descriptors, match.rs:98)."""
+    d = hamming_distance_matrix(a_bits, b_bits, a_mask, b_mask)  # (N, M)
+
+    # two smallest along axis 1 via top_k on negative
+    neg = -d
+    top2, idx2 = jax.lax.top_k(neg, 2)
+    best = -top2[:, 0]
+    second = -top2[:, 1]
+    best_idx = idx2[:, 0]
+
+    ok = best <= max_distance
+    if ratio is not None:
+        ok = ok & (best.astype(jnp.float32) <= ratio * second.astype(jnp.float32))
+    if cross_check:
+        b_best = jnp.argmin(d, axis=0)  # (M,)
+        ok = ok & (b_best[best_idx] == jnp.arange(d.shape[0]))
+
+    return Matches(
+        idx=jnp.where(ok, best_idx, -1),
+        dist=best.astype(jnp.float32),
+        mask=ok,
+    )
+
+
+def match_descriptors_f32(
+    a: jax.Array, b: jax.Array, ratio: Optional[float] = 0.8, cross_check: bool = True,
+    a_mask: Optional[jax.Array] = None, b_mask: Optional[jax.Array] = None,
+) -> Matches:
+    """L2 matcher for float descriptors (reference match_descriptors_f32,
+    match.rs:225). ‖a−b‖² = |a|² + |b|² − 2ab — again one matmul."""
+    dots = a @ b.T
+    na = jnp.sum(a * a, axis=1, keepdims=True)
+    nb = jnp.sum(b * b, axis=1, keepdims=True).T
+    d = jnp.maximum(na + nb - 2.0 * dots, 0.0)
+    if a_mask is not None:
+        d = jnp.where(a_mask[:, None], d, jnp.inf)
+    if b_mask is not None:
+        d = jnp.where(b_mask[None, :], d, jnp.inf)
+    top2, idx2 = jax.lax.top_k(-d, 2)
+    best = jnp.sqrt(-top2[:, 0])
+    second = jnp.sqrt(jnp.maximum(-top2[:, 1], 0.0))
+    best_idx = idx2[:, 0]
+    ok = jnp.isfinite(best)
+    if ratio is not None:
+        ok = ok & (best <= ratio * second)
+    if cross_check:
+        b_best = jnp.argmin(d, axis=0)
+        ok = ok & (b_best[best_idx] == jnp.arange(d.shape[0]))
+    return Matches(idx=jnp.where(ok, best_idx, -1), dist=best, mask=ok)
+
+
+def matched_points(
+    xy_a: jax.Array, xy_b: jax.Array, matches: Matches
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Gather matched coordinate pairs, fixed shape (N, 2) + validity mask."""
+    idx = jnp.maximum(matches.idx, 0)
+    return xy_a, xy_b[idx], matches.mask

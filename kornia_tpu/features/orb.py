@@ -1,0 +1,212 @@
+"""ORB detector + descriptor (reference: kornia-imgproc/src/features/orb/).
+
+ORB-SLAM3-style contract (reference extractor.rs): scale pyramid (factor
+1.2), per-cell two-tier FAST with spatial distribution, per-keypoint
+intensity-centroid orientation, Gaussian pre-blur, rotated BRIEF-256.
+
+TPU re-design:
+  * every pyramid level is processed by the same fixed-shape program
+    (per-level keypoint budgets are static);
+  * orientation + BRIEF are patch *gathers* at keypoint locations followed
+    by dense reductions (the reference's NEON per-keypoint loops);
+  * the descriptor is kept as a (N, 256) ±1/0 bit plane so Hamming matching
+    is one int-matmul on the MXU (see features/matching.py).
+
+The BRIEF pattern is a seeded learned-free variant (Gaussian BRIEF pairs,
+σ = patch/5, like the original BRIEF paper): cross-library descriptor
+*bits* differ from OpenCV's trained pattern, but matching quality is
+validated e2e (homography reprojection error) like the reference's
+benchmarks.md "ORB e2e quality" gate.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, NamedTuple, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from kornia_tpu.features.fast import fast_detect_cells, fast_score, nms_maxpool
+from kornia_tpu.ops.filters import gaussian_blur
+from kornia_tpu.ops.resize import resize
+
+_PATCH = 31
+_HALF = _PATCH // 2  # 15
+
+
+@functools.lru_cache(maxsize=None)
+def brief_pattern(seed: int = 7, n_bits: int = 256) -> np.ndarray:
+    """(n_bits, 4) int32 — (x1, y1, x2, y2) offsets in [-15, 15]."""
+    rng = np.random.default_rng(seed)
+    sigma = _PATCH / 5.0
+    pts = rng.normal(0.0, sigma, size=(n_bits, 4))
+    return np.clip(np.round(pts), -_HALF + 1, _HALF - 1).astype(np.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def _circular_mask() -> np.ndarray:
+    """(31, 31) mask of the intensity-centroid circle (radius 15, the
+    HALF_PATCH_SIZE circle ORB-SLAM uses via per-row u_max)."""
+    yy, xx = np.mgrid[-_HALF : _HALF + 1, -_HALF : _HALF + 1]
+    return (xx * xx + yy * yy <= _HALF * _HALF).astype(np.float32)
+
+
+class OrbFeatures(NamedTuple):
+    """Fixed-capacity ORB output (reference OrbFeatures, extractor.rs:15)."""
+
+    xy: jax.Array           # (N, 2) float32 in level-0 pixel coords
+    score: jax.Array        # (N,) response
+    angle: jax.Array        # (N,) radians
+    octave: jax.Array       # (N,) int32
+    descriptors: jax.Array  # (N, 256) uint8 bits in {0, 1}
+    mask: jax.Array         # (N,) bool valid
+
+
+@dataclasses.dataclass(frozen=True)
+class OrbConfig:
+    """Reference OrbDetector pub fields (extractor.rs:55-72)."""
+
+    n_features: int = 2000
+    n_levels: int = 8
+    scale_factor: float = 1.2
+    fast_threshold_high: float = 20.0
+    fast_threshold_low: float = 7.0
+    cell_size: int = 35
+    pattern_seed: int = 7
+
+
+def _level_budgets(cfg: OrbConfig) -> List[int]:
+    """Per-level keypoint counts ∝ 1/scale^i (ORB-SLAM3 distribution)."""
+    inv = [1.0 / cfg.scale_factor**i for i in range(cfg.n_levels)]
+    total = sum(inv)
+    raw = [int(round(cfg.n_features * v / total)) for v in inv]
+    raw[0] += cfg.n_features - sum(raw)
+    return raw
+
+
+def _gather_patches(gray_f: jax.Array, xy_int: jax.Array, half: int) -> jax.Array:
+    """(K, 2h+1, 2h+1) patches centered at integer keypoints (edge-clamped)."""
+    h, w = gray_f.shape
+    offs = jnp.arange(-half, half + 1)
+    iy = jnp.clip(xy_int[:, 1, None, None] + offs[None, :, None], 0, h - 1)
+    ix = jnp.clip(xy_int[:, 0, None, None] + offs[None, None, :], 0, w - 1)
+    return gray_f[iy, ix]
+
+
+def orientation_ic(gray_f: jax.Array, xy: jax.Array) -> jax.Array:
+    """Intensity-centroid orientation at (K, 2) keypoints, radians
+    (reference extractor.rs:1362 NEON kernel)."""
+    xy_int = jnp.round(xy).astype(jnp.int32)
+    patches = _gather_patches(gray_f, xy_int, _HALF)  # (K, 31, 31)
+    mask = jnp.asarray(_circular_mask())
+    offs = jnp.arange(-_HALF, _HALF + 1, dtype=jnp.float32)
+    m10 = jnp.sum(patches * mask * offs[None, None, :], axis=(1, 2))
+    m01 = jnp.sum(patches * mask * offs[None, :, None], axis=(1, 2))
+    return jnp.arctan2(m01, m10)
+
+
+def brief_describe(
+    blurred_f: jax.Array, xy: jax.Array, angle: jax.Array, seed: int = 7
+) -> jax.Array:
+    """Rotated BRIEF-256: (K, 256) uint8 bits (reference orb/pattern.rs +
+    process_octave_u8 descriptor stage)."""
+    pat = jnp.asarray(brief_pattern(seed))  # (256, 4)
+    ca, sa = jnp.cos(angle), jnp.sin(angle)  # (K,)
+    h, w = blurred_f.shape
+
+    def rot(px, py):
+        # (K, 256) rotated integer offsets
+        rx = jnp.round(px[None, :] * ca[:, None] - py[None, :] * sa[:, None])
+        ry = jnp.round(px[None, :] * sa[:, None] + py[None, :] * ca[:, None])
+        return rx.astype(jnp.int32), ry.astype(jnp.int32)
+
+    x0, y0 = rot(pat[:, 0].astype(jnp.float32), pat[:, 1].astype(jnp.float32))
+    x1, y1 = rot(pat[:, 2].astype(jnp.float32), pat[:, 3].astype(jnp.float32))
+    cx = jnp.round(xy[:, 0]).astype(jnp.int32)[:, None]
+    cy = jnp.round(xy[:, 1]).astype(jnp.int32)[:, None]
+
+    def sample(ix, iy):
+        gx = jnp.clip(cx + ix, 0, w - 1)
+        gy = jnp.clip(cy + iy, 0, h - 1)
+        return blurred_f[gy, gx]
+
+    bits = sample(x0, y0) < sample(x1, y1)
+    return bits.astype(jnp.uint8)
+
+
+def pack_descriptors(bits: jax.Array) -> jax.Array:
+    """(N, 256) {0,1} → (N, 32) uint8 packed (reference [u8;32] layout)."""
+    b = bits.reshape(bits.shape[0], 32, 8)
+    weights = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.uint8)
+    return jnp.sum(b * weights, axis=-1).astype(jnp.uint8)
+
+
+def unpack_descriptors(packed: jax.Array) -> jax.Array:
+    """(N, 32) uint8 → (N, 256) {0,1} bits."""
+    shifts = jnp.arange(8, dtype=jnp.uint8)
+    bits = (packed[..., None] >> shifts) & 1
+    return bits.reshape(packed.shape[0], -1)
+
+
+def _process_level(
+    level_img: jax.Array,
+    budget: int,
+    scale: float,
+    octave: int,
+    cfg: OrbConfig,
+):
+    """One pyramid octave (reference process_octave_u8, extractor.rs:713)."""
+    gray_f = level_img.astype(jnp.float32)
+    kps = fast_detect_cells(
+        level_img,
+        cell_size=cfg.cell_size,
+        threshold_high=cfg.fast_threshold_high,
+        threshold_low=cfg.fast_threshold_low,
+        per_cell=max(2, budget // 64),
+    )
+    # global top-`budget` among cell winners keeps spatial spread (cells
+    # already capped) while filling the level budget
+    vals, idx = jax.lax.top_k(jnp.where(kps.mask, kps.score, -jnp.inf), budget)
+    xy = kps.xy[idx]
+    valid = vals > 0.0
+
+    ang = orientation_ic(gray_f, xy)
+    blurred = gaussian_blur(gray_f[..., None], (7, 7), 2.0)[..., 0]
+    desc = brief_describe(blurred, xy, ang, cfg.pattern_seed)
+    return (
+        xy * scale,
+        jnp.where(valid, vals, 0.0),
+        ang,
+        jnp.full((budget,), octave, jnp.int32),
+        desc,
+        valid,
+    )
+
+
+def orb_detect_and_describe(gray_u8: jax.Array, cfg: OrbConfig = OrbConfig()) -> OrbFeatures:
+    """Full multi-scale ORB (reference OrbDetector::detect_and_extract_u8,
+    extractor.rs:763). The pyramid chain is sequential but each level's
+    detect/describe compiles into one program; XLA overlaps independent
+    subgraphs (the reference pipelines levels with rayon::scope)."""
+    budgets = _level_budgets(cfg)
+    h, w = gray_u8.shape
+    levels = [gray_u8]
+    for i in range(1, cfg.n_levels):
+        s = cfg.scale_factor**i
+        nh, nw = int(round(h / s)), int(round(w / s))
+        levels.append(resize(levels[-1], (nh, nw), mode="bilinear"))
+
+    parts = []
+    for i, (img, budget) in enumerate(zip(levels, budgets)):
+        parts.append(_process_level(img, budget, cfg.scale_factor**i, i, cfg))
+
+    xy = jnp.concatenate([p[0] for p in parts])
+    score = jnp.concatenate([p[1] for p in parts])
+    ang = jnp.concatenate([p[2] for p in parts])
+    octv = jnp.concatenate([p[3] for p in parts])
+    desc = jnp.concatenate([p[4] for p in parts])
+    mask = jnp.concatenate([p[5] for p in parts])
+    return OrbFeatures(xy=xy, score=score, angle=ang, octave=octv, descriptors=desc, mask=mask)

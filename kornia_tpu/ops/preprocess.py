@@ -1,0 +1,114 @@
+"""Fused DNN preprocessing: frame → normalized CHW tensor
+(reference: kornia-imgproc/src/preprocess.rs, resize/fused.rs, cuda/fusion.rs).
+
+The reference hand-fuses resize+normalize+CHW into one NVRTC kernel
+(0.097 ms 1080p→640² on Orin Nano). On TPU the same pipeline is expressed as
+two MXU matmuls (the separable resize; see ops/resize.py) with the
+normalize folded *into the resize weights* — ``(Wy @ x @ Wxᵀ)·s + b`` where
+the per-channel scale rides the second matmul's epilogue. XLA fuses the
+epilogue, so the whole preprocess is two matmul kernels and zero extra HBM
+round-trips of the full frame.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from kornia_tpu.ops import color as _color
+from kornia_tpu.ops import yuv as _yuv
+from kornia_tpu.ops.resize import _resize_matrix
+
+
+class ResizeMode(enum.Enum):
+    """Reference preprocess.rs ResizeMode."""
+
+    STRETCH = "stretch"
+    LETTERBOX = "letterbox"
+
+
+class NormalizeMode(enum.Enum):
+    UNIT_SCALE = "unit_scale"  # x / 255
+    MEAN_STD = "mean_std"      # (x/255 - mean) / std
+
+
+@dataclasses.dataclass(frozen=True)
+class PreprocessorConfig:
+    """Builder-equivalent config (reference PreprocessorBuilder)."""
+
+    out_size: Tuple[int, int]  # (h, w)
+    resize_mode: ResizeMode = ResizeMode.STRETCH
+    normalize: NormalizeMode = NormalizeMode.UNIT_SCALE
+    mean: Sequence[float] = (0.0, 0.0, 0.0)
+    std: Sequence[float] = (1.0, 1.0, 1.0)
+    interp: str = "bilinear"
+    pad_value: float = 114.0 / 255.0  # YOLO-style letterbox gray
+    bgr_output: bool = False
+
+
+def resize_normalize_to_tensor(
+    rgb_u8: jax.Array,
+    cfg: PreprocessorConfig,
+) -> jax.Array:
+    """(H, W, 3) u8 → (1, 3, out_h, out_w) f32 — the fused pipeline.
+
+    Reference: resize_normalize_to_tensor_u8_to_f32 (fused.rs:57).
+    """
+    out_h, out_w = cfg.out_size
+    h, w, _ = rgb_u8.shape
+    mean = jnp.asarray(cfg.mean, jnp.float32)
+    std = jnp.asarray(cfg.std, jnp.float32)
+
+    if cfg.resize_mode is ResizeMode.LETTERBOX:
+        scale = min(out_h / h, out_w / w)
+        rh, rw = int(round(h * scale)), int(round(w * scale))
+        pad_top = (out_h - rh) // 2
+        pad_left = (out_w - rw) // 2
+    else:
+        rh, rw = out_h, out_w
+        pad_top = pad_left = 0
+
+    wy = jnp.asarray(_resize_matrix(h, rh, cfg.interp, False))
+    wx = jnp.asarray(_resize_matrix(w, rw, cfg.interp, False))
+
+    x = rgb_u8.astype(jnp.float32)
+    # rows then cols; fold the /255 and mean/std into the epilogue
+    t = jnp.einsum("oh,hwc->owc", wy, x, precision=jax.lax.Precision.HIGHEST)
+    t = jnp.einsum("pw,owc->opc", wx, t, precision=jax.lax.Precision.HIGHEST)
+    if cfg.normalize is NormalizeMode.MEAN_STD:
+        t = (t * (1.0 / 255.0) - mean) / std
+    else:
+        t = t * (1.0 / 255.0)
+    if cfg.bgr_output:
+        t = t[..., ::-1]
+
+    if cfg.resize_mode is ResizeMode.LETTERBOX:
+        canvas = jnp.full((out_h, out_w, 3), cfg.pad_value, jnp.float32)
+        if cfg.normalize is NormalizeMode.MEAN_STD:
+            canvas = (canvas - mean) / std
+        t = jax.lax.dynamic_update_slice(canvas, t, (pad_top, pad_left, 0))
+
+    return jnp.transpose(t, (2, 0, 1))[None]  # (1, 3, H, W)
+
+
+def preprocess_nv12(
+    y_plane: jax.Array, uv_plane: jax.Array, cfg: PreprocessorConfig
+) -> jax.Array:
+    """NV12 frame → (1, 3, H, W) f32 (reference fused NV12 path)."""
+    rgb = _yuv.rgb_from_nv12(y_plane, uv_plane)
+    return resize_normalize_to_tensor(rgb, cfg)
+
+
+class Preprocessor:
+    """Stateful, jit-cached preprocessor (reference kornia-py Preprocessor)."""
+
+    def __init__(self, cfg: PreprocessorConfig):
+        self.cfg = cfg
+        self._fn = jax.jit(lambda x: resize_normalize_to_tensor(x, cfg))
+
+    def __call__(self, rgb_u8) -> jax.Array:
+        return self._fn(jnp.asarray(rgb_u8))

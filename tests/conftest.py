@@ -1,0 +1,69 @@
+"""Test configuration.
+
+Tests run on CPU with 8 virtual devices so the multi-chip sharding paths are
+unit-testable without a pod (the SURVEY.md §4 "fake backend" strategy:
+``shard_map`` over a mocked ``jax.sharding.Mesh`` of host devices). The env
+vars must be set before jax initializes, hence this conftest sets them at
+import time.
+"""
+
+import os
+
+# Force CPU even if the environment points at a TPU (JAX_PLATFORMS=axon):
+# unit tests need deterministic f32 numerics and 8 virtual devices.
+# NOTE: the axon sitecustomize imports jax at interpreter startup, so env
+# vars alone are too late — also override via jax.config below.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", (
+    "tests must run on CPU; jax backend was initialized before conftest"
+)
+assert jax.device_count() == 8, "expected 8 virtual CPU devices"
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+_RNG_SEED = 1234  # seed-pinned fixtures like the reference's conftest.py:7-12
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(_RNG_SEED)
+
+
+@pytest.fixture(scope="session")
+def rgb_1080p(rng):
+    """Seed-pinned 1080p RGB u8 frame (reference conftest fixture)."""
+    return rng.integers(0, 256, size=(1080, 1920, 3), dtype=np.uint8)
+
+
+@pytest.fixture(scope="session")
+def rgb_small(rng):
+    return rng.integers(0, 256, size=(480, 640, 3), dtype=np.uint8)
+
+
+@pytest.fixture(scope="session")
+def dog_rgb():
+    """The reference's canonical test image (tests/data/dog.jpeg)."""
+    from PIL import Image as PILImage
+
+    path = "/root/reference/tests/data/dog.jpeg"
+    if not os.path.exists(path):
+        pytest.skip("reference dog.jpeg not available")
+    return np.asarray(PILImage.open(path).convert("RGB"))
+
+
+@pytest.fixture(scope="session")
+def gray_small(rgb_small):
+    import cv2
+
+    return cv2.cvtColor(rgb_small, cv2.COLOR_RGB2GRAY)
