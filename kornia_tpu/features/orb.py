@@ -160,12 +160,17 @@ def _process_level(
 ):
     """One pyramid octave (reference process_octave_u8, extractor.rs:713)."""
     gray_f = level_img.astype(jnp.float32)
+    lh, lw = level_img.shape
+    n_cells = (-(-lh // cfg.cell_size)) * (-(-lw // cfg.cell_size))
+    # enough per-cell capacity that the level budget is reachable even when
+    # responses concentrate in few cells (2× oversampling)
+    per_cell = max(2, -(-2 * budget // n_cells))
     kps = fast_detect_cells(
         level_img,
         cell_size=cfg.cell_size,
         threshold_high=cfg.fast_threshold_high,
         threshold_low=cfg.fast_threshold_low,
-        per_cell=max(2, budget // 64),
+        per_cell=per_cell,
     )
     # global top-`budget` among cell winners keeps spatial spread (cells
     # already capped) while filling the level budget

@@ -7,6 +7,7 @@ gathers at keypoint locations. All return float32 (H, W).
 
 from __future__ import annotations
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -19,14 +20,25 @@ def _grads(gray_f: jax.Array):
     return gx, gy
 
 
+def _window_kernel(block_size: int, sigma: float, window: str) -> np.ndarray:
+    if window == "box":
+        # cv2.cornerHarris semantics: box sum over blockSize
+        return np.ones(block_size, np.float32)
+    return gaussian_kernel1d(block_size, sigma)
+
+
 def harris_response(
-    gray: jax.Array, k: float = 0.04, block_size: int = 5, sigma: float = 1.0
+    gray: jax.Array, k: float = 0.04, block_size: int = 5, sigma: float = 1.0,
+    window: str = "gaussian",
 ) -> jax.Array:
-    """Harris cornerness det(M) − k·tr(M)² with Gaussian-weighted structure
-    tensor (reference responses.rs:111-333)."""
+    """Harris cornerness det(M) − k·tr(M)² (reference responses.rs:111-333).
+
+    ``window="box"`` reproduces cv2.cornerHarris's box-summed structure
+    tensor; "gaussian" is the reference's (and the classic) weighting.
+    """
     x = gray.astype(jnp.float32)
     gx, gy = _grads(x)
-    kern = gaussian_kernel1d(block_size, sigma)
+    kern = _window_kernel(block_size, sigma, window)
     sxx = _conv_sep((gx * gx)[..., None], kern, kern)[..., 0]
     syy = _conv_sep((gy * gy)[..., None], kern, kern)[..., 0]
     sxy = _conv_sep((gx * gy)[..., None], kern, kern)[..., 0]

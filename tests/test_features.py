@@ -1,0 +1,127 @@
+"""Feature front-end tests: FAST parity vs cv2, ORB e2e match quality
+(reference: benchmarks.md "ORB e2e quality" gate — quality is validated by
+homography reprojection error, not descriptor bit parity)."""
+
+import cv2
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from kornia_tpu.features import fast as F
+from kornia_tpu.features import matching as M
+from kornia_tpu.features import orb as O
+from kornia_tpu.features import responses as R
+
+
+class TestFast:
+    def test_corner_set_matches_cv2(self, dog_rgb):
+        gray = cv2.cvtColor(dog_rgb, cv2.COLOR_RGB2GRAY)
+        score = np.asarray(F.fast_score(jnp.asarray(gray), threshold=20.0))
+        ours = set(zip(*np.nonzero(score > 0)))
+        det = cv2.FastFeatureDetector_create(threshold=20, nonmaxSuppression=False)
+        kps = det.detect(gray)
+        ref = set((int(round(k.pt[1])), int(round(k.pt[0]))) for k in kps)
+        # ignore cv2's 3px border handling differences
+        h, w = gray.shape
+        ref = {(y, x) for (y, x) in ref if 3 <= y < h - 3 and 3 <= x < w - 3}
+        ours = {(y, x) for (y, x) in ours if 3 <= y < h - 3 and 3 <= x < w - 3}
+        jaccard = len(ours & ref) / max(len(ours | ref), 1)
+        assert jaccard > 0.99, f"jaccard {jaccard}, ours {len(ours)} ref {len(ref)}"
+
+    def test_nms_topk(self, dog_rgb):
+        gray = cv2.cvtColor(dog_rgb, cv2.COLOR_RGB2GRAY)
+        kps = F.fast_detect(jnp.asarray(gray), threshold=20.0, max_keypoints=512)
+        n = int(np.asarray(kps.mask).sum())
+        assert n > 100
+        # scores sorted descending
+        s = np.asarray(kps.score)
+        assert (np.diff(s) <= 1e-6).all()
+
+    def test_cells_two_tier(self, dog_rgb):
+        gray = cv2.cvtColor(dog_rgb, cv2.COLOR_RGB2GRAY)
+        kps = F.fast_detect_cells(jnp.asarray(gray))
+        xy = np.asarray(kps.xy)[np.asarray(kps.mask)]
+        # spatial spread: keypoints should cover most 70px bands
+        h, w = gray.shape
+        bands = set((xy[:, 1] // 70).astype(int))
+        assert len(bands) >= (h // 70) - 2
+
+
+class TestResponses:
+    def test_harris_matches_cv2_box_window(self, gray_small):
+        resp = np.asarray(
+            R.harris_response(jnp.asarray(gray_small), k=0.04, block_size=5, window="box")
+        )
+        ref = cv2.cornerHarris(gray_small.astype(np.float32), 5, 3, 0.04)
+        # identical pipeline up to border handling → near-perfect correlation
+        a = resp[4:-4, 4:-4].ravel()
+        b = ref[4:-4, 4:-4].ravel()
+        corr = np.corrcoef(a, b)[0, 1]
+        assert corr > 0.999, corr
+
+    def test_hessian_dog_finite(self, gray_small):
+        for fn in (R.hessian_response, R.dog_response, R.shi_tomasi_response):
+            out = np.asarray(fn(jnp.asarray(gray_small)))
+            assert np.isfinite(out).all()
+
+
+class TestMatching:
+    def test_hamming_matrix(self, rng):
+        local = np.random.default_rng(3)
+        a = local.integers(0, 2, size=(64, 256)).astype(np.uint8)
+        b = local.integers(0, 2, size=(80, 256)).astype(np.uint8)
+        d = np.asarray(M.hamming_distance_matrix(jnp.asarray(a), jnp.asarray(b)))
+        ref = (a[:, None, :] != b[None, :, :]).sum(-1)
+        np.testing.assert_array_equal(d, ref)
+
+    def test_self_match_identity(self):
+        local = np.random.default_rng(4)
+        a = local.integers(0, 2, size=(128, 256)).astype(np.uint8)
+        m = M.match_descriptors(jnp.asarray(a), jnp.asarray(a), ratio=None)
+        np.testing.assert_array_equal(np.asarray(m.idx), np.arange(128))
+
+    def test_pack_unpack(self):
+        local = np.random.default_rng(5)
+        bits = local.integers(0, 2, size=(16, 256)).astype(np.uint8)
+        packed = O.pack_descriptors(jnp.asarray(bits))
+        back = np.asarray(O.unpack_descriptors(packed))
+        np.testing.assert_array_equal(back, bits)
+
+
+class TestOrbE2E:
+    """The reference's quality gate: detect+describe on an image and a warped
+    copy, match, fit homography, check reprojection error (benchmarks.md
+    ORB e2e ≤ ~1 px)."""
+
+    def test_match_quality_under_rotation(self, dog_rgb):
+        gray = cv2.cvtColor(dog_rgb, cv2.COLOR_RGB2GRAY)
+        gray = cv2.resize(gray, (480, 360))
+        h, w = gray.shape
+        m = cv2.getRotationMatrix2D((w / 2, h / 2), 15.0, 1.0)
+        warped = cv2.warpAffine(gray, m, (w, h))
+
+        cfg = O.OrbConfig(n_features=768, n_levels=4)
+        fa = O.orb_detect_and_describe(jnp.asarray(gray), cfg)
+        fb = O.orb_detect_and_describe(jnp.asarray(warped), cfg)
+        matches = M.match_descriptors(
+            fa.descriptors, fb.descriptors, a_mask=fa.mask, b_mask=fb.mask,
+            max_distance=64, ratio=0.8,
+        )
+        ok = np.asarray(matches.mask)
+        assert ok.sum() >= 30, f"only {ok.sum()} matches"
+
+        xy_a = np.asarray(fa.xy)[ok]
+        xy_b = np.asarray(fb.xy)[np.asarray(matches.idx)[ok]]
+        # ground-truth mapping of a→b is the affine m
+        gt = xy_a @ m[:, :2].T + m[:, 2]
+        err = np.linalg.norm(gt - xy_b, axis=1)
+        inlier_rate = (err < 3.0).mean()
+        assert inlier_rate > 0.5, f"inlier rate {inlier_rate}"
+        assert np.median(err[err < 3.0]) < 1.5
+
+    def test_fixed_shapes(self, gray_small):
+        cfg = O.OrbConfig(n_features=512, n_levels=3)
+        f = O.orb_detect_and_describe(jnp.asarray(gray_small), cfg)
+        assert f.xy.shape == (512, 2)
+        assert f.descriptors.shape == (512, 256)
+        assert f.octave.shape == (512,)
