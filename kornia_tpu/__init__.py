@@ -23,6 +23,16 @@ Design stance (vs the Rust/CUDA reference):
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# Framework numerics contract (mirrors the reference's bit-exactness
+# discipline, kornia-imgproc/src/cuda/mod.rs:8-53): float32 arrays get
+# float32 matmul math. TPU's default lowers f32 matmuls to one bf16 MXU
+# pass (~8e-3 relative error) — enough to corrupt NN assignment in ICP and
+# RANSAC scoring (observed on v5e). Model code that wants MXU-speed bf16
+# should use bfloat16 *dtypes*, which this setting does not affect.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from kornia_tpu import image
 from kornia_tpu import ops
 from kornia_tpu import features

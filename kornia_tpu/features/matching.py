@@ -89,7 +89,9 @@ def match_descriptors_f32(
 ) -> Matches:
     """L2 matcher for float descriptors (reference match_descriptors_f32,
     match.rs:225). ‖a−b‖² = |a|² + |b|² − 2ab — again one matmul."""
-    dots = a @ b.T
+    dots = jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())), precision=jax.lax.Precision.HIGHEST
+    )
     na = jnp.sum(a * a, axis=1, keepdims=True)
     nb = jnp.sum(b * b, axis=1, keepdims=True).T
     d = jnp.maximum(na + nb - 2.0 * dots, 0.0)

@@ -1,0 +1,257 @@
+"""Geometry stack tests on synthetic scenes with known ground truth
+(reference: kornia-3d unit tests + kornia-py test_two_view_pose.py)."""
+
+import cv2
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from scipy.spatial.transform import Rotation
+
+from kornia_tpu.geometry import camera as cam
+from kornia_tpu.geometry import epipolar as epi
+from kornia_tpu.geometry import icp as icp_mod
+from kornia_tpu.geometry import linalg as la
+from kornia_tpu.geometry import pnp as pnp_mod
+from kornia_tpu.geometry import triangulation as tri
+from kornia_tpu.geometry import twoview as tv
+
+
+def make_scene(seed=0, n=200, noise=0.0, outlier_frac=0.0):
+    """Synthetic two-view scene: random 3D points, known relative pose."""
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform([-2, -2, 4], [2, 2, 10], size=(n, 3)).astype(np.float32)
+    k = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]], np.float32)
+    r = Rotation.from_euler("xyz", [5, -8, 3], degrees=True).as_matrix().astype(np.float32)
+    t = np.array([0.5, 0.1, 0.05], np.float32)
+    t = t / np.linalg.norm(t)
+
+    def project(p, R, T):
+        c = p @ R.T + T
+        return (c[:, :2] / c[:, 2:]) * [k[0, 0], k[1, 1]] + [k[0, 2], k[1, 2]]
+
+    x1 = project(pts, np.eye(3, dtype=np.float32), np.zeros(3, np.float32))
+    x2 = project(pts, r, t)
+    if noise > 0:
+        x1 += rng.normal(0, noise, x1.shape).astype(np.float32)
+        x2 += rng.normal(0, noise, x2.shape).astype(np.float32)
+    n_out = int(n * outlier_frac)
+    if n_out:
+        idx = rng.choice(n, n_out, replace=False)
+        x2[idx] = rng.uniform([0, 0], [640, 480], size=(n_out, 2)).astype(np.float32)
+    return pts, x1.astype(np.float32), x2.astype(np.float32), k, r, t
+
+
+def rot_err_deg(r_est, r_gt):
+    cosang = (np.trace(r_est.T @ r_gt) - 1) / 2
+    return np.degrees(np.arccos(np.clip(cosang, -1, 1)))
+
+
+def trans_err_deg(t_est, t_gt):
+    c = abs(np.dot(t_est / np.linalg.norm(t_est), t_gt / np.linalg.norm(t_gt)))
+    return np.degrees(np.arccos(np.clip(c, -1, 1)))
+
+
+class TestCamera:
+    def test_project_unproject_roundtrip(self):
+        k = jnp.asarray([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]])
+        pts = jnp.asarray([[0.5, -0.2, 3.0], [1.0, 1.0, 5.0]])
+        px = cam.project_points(pts, k)
+        back = cam.unproject_points(px, pts[:, 2], k)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(pts), atol=1e-5)
+
+    def test_distort_undistort_roundtrip(self):
+        dist = jnp.asarray([-0.28, 0.07, 0.0002, -0.0001, 0.001], jnp.float32)
+        xy = jnp.asarray(np.random.default_rng(0).uniform(-0.4, 0.4, (100, 2)).astype(np.float32))
+        xyd = cam.distort_points_polynomial(xy, dist)
+        back = cam.undistort_points_iterative(xyd, dist, iters=10)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(xy), atol=1e-5)
+
+    def test_undistort_matches_cv2(self):
+        k = np.array([[458.654, 0, 367.215], [0, 457.296, 248.375], [0, 0, 1]], np.float32)
+        dist = np.array([-0.2834, 0.0739, 0.0002, 1.76e-05, 0.0], np.float32)
+        px = np.random.default_rng(1).uniform([50, 50], [700, 430], (50, 2)).astype(np.float32)
+        ours = np.asarray(cam.undistort_points(jnp.asarray(px), jnp.asarray(k), jnp.asarray(dist)))
+        ref = cv2.undistortPoints(px[:, None], k, dist, P=k)[:, 0]
+        # cv2 runs only 5 fixed-point iterations (not fully converged) →
+        # ~0.1 px corridor against our 8-iteration solution
+        np.testing.assert_allclose(ours, ref, atol=0.1)
+
+    def test_fisheye_roundtrip(self):
+        k = jnp.asarray([[300.0, 0, 320], [0, 300.0, 240], [0, 0, 1]])
+        kb = jnp.asarray([0.05, -0.01, 0.002, -0.0005], jnp.float32)
+        pts = jnp.asarray(np.random.default_rng(2).uniform([-1, -1, 2], [1, 1, 6], (60, 3)).astype(np.float32))
+        px = cam.fisheye_project(pts, k, kb)
+        bearing = cam.fisheye_unproject(px, k, kb)
+        gt = np.asarray(pts) / np.linalg.norm(np.asarray(pts), axis=1, keepdims=True)
+        np.testing.assert_allclose(np.asarray(bearing), gt, atol=1e-4)
+
+
+class TestLinalg:
+    def test_umeyama(self):
+        rng = np.random.default_rng(3)
+        src = rng.normal(size=(50, 3)).astype(np.float32)
+        r_gt = Rotation.from_euler("zyx", [20, -10, 5], degrees=True).as_matrix().astype(np.float32)
+        t_gt = np.array([1.0, -2.0, 0.5], np.float32)
+        dst = src @ r_gt.T + t_gt
+        r, t, s = la.rigid_transform_3d(jnp.asarray(src), jnp.asarray(dst))
+        np.testing.assert_allclose(np.asarray(r), r_gt, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(t), t_gt, atol=1e-5)
+
+    def test_umeyama_with_scale(self):
+        rng = np.random.default_rng(4)
+        src = rng.normal(size=(50, 3)).astype(np.float32)
+        r_gt = Rotation.from_euler("xyz", [5, 5, 5], degrees=True).as_matrix().astype(np.float32)
+        dst = 2.5 * src @ r_gt.T + np.array([0.3, 0.1, -1.0], np.float32)
+        r, t, s = la.rigid_transform_3d(jnp.asarray(src), jnp.asarray(dst), with_scale=True)
+        np.testing.assert_allclose(float(s), 2.5, atol=1e-4)
+
+    def test_cholesky_solve(self):
+        rng = np.random.default_rng(5)
+        m = rng.normal(size=(12, 12)).astype(np.float32)
+        a = m @ m.T + 12 * np.eye(12, dtype=np.float32)
+        b = rng.normal(size=(12,)).astype(np.float32)
+        x = np.asarray(la.solve_cholesky(jnp.asarray(a), jnp.asarray(b)))
+        np.testing.assert_allclose(a @ x, b, atol=1e-3)
+
+
+class TestEpipolar:
+    def test_8pt_noiseless(self):
+        pts, x1, x2, k, r_gt, t_gt = make_scene(0, n=60)
+        f = epi.fundamental_8pt(jnp.asarray(x1), jnp.asarray(x2))
+        d = np.asarray(epi.sampson_distance(f, jnp.asarray(x1), jnp.asarray(x2)))
+        assert d.max() < 1e-2
+
+    def test_8pt_vs_cv2(self):
+        pts, x1, x2, k, r_gt, t_gt = make_scene(1, n=60, noise=0.3)
+        f = np.asarray(epi.fundamental_8pt(jnp.asarray(x1), jnp.asarray(x2)))
+        f_cv, _ = cv2.findFundamentalMat(x1, x2, cv2.FM_8POINT)
+        f_cv = f_cv / np.linalg.norm(f_cv)
+        f_n = f / np.linalg.norm(f)
+        if np.sign(f_n[2, 2]) != np.sign(f_cv[2, 2]):
+            f_n = -f_n
+        np.testing.assert_allclose(f_n, f_cv, atol=2e-3)
+
+    def test_batched_8pt(self):
+        pts, x1, x2, k, *_ = make_scene(2, n=64)
+        b1 = jnp.asarray(np.stack([x1[:8], x1[8:16]]))
+        b2 = jnp.asarray(np.stack([x2[:8], x2[8:16]]))
+        f = epi.fundamental_8pt(b1, b2)
+        assert f.shape == (2, 3, 3)
+        d0 = np.asarray(epi.sampson_distance(f[0], b1[0], b2[0]))
+        assert d0.max() < 1e-2
+
+    def test_essential_decomposition_recovers_pose(self):
+        pts, x1, x2, k, r_gt, t_gt = make_scene(3, n=60)
+        f = epi.fundamental_8pt(jnp.asarray(x1), jnp.asarray(x2))
+        e = epi.essential_from_fundamental(f, jnp.asarray(k), jnp.asarray(k))
+        rs, ts = epi.decompose_essential(e)
+        errs_r = [rot_err_deg(np.asarray(rs[i]), r_gt) for i in range(4)]
+        errs_t = [trans_err_deg(np.asarray(ts[i]), t_gt) for i in range(4)]
+        assert min(errs_r) < 0.5
+        assert min(errs_t) < 1.0
+
+    def test_homography_dlt(self):
+        rng = np.random.default_rng(6)
+        h_gt = np.array([[1.1, 0.05, 10], [-0.03, 0.95, -5], [1e-4, -2e-4, 1.0]], np.float32)
+        x1 = rng.uniform([0, 0], [640, 480], (30, 2)).astype(np.float32)
+        xh = np.c_[x1, np.ones(30)] @ h_gt.T
+        x2 = (xh[:, :2] / xh[:, 2:]).astype(np.float32)
+        h = np.asarray(epi.homography_dlt(jnp.asarray(x1), jnp.asarray(x2)))
+        np.testing.assert_allclose(h / h[2, 2], h_gt / h_gt[2, 2], atol=1e-3)
+
+
+class TestTriangulation:
+    def test_dlt_recovers_points(self):
+        pts, x1, x2, k, r_gt, t_gt = make_scene(7, n=50)
+        p1 = tri.projection_matrix(jnp.eye(3), jnp.zeros(3), jnp.asarray(k))
+        p2 = tri.projection_matrix(jnp.asarray(r_gt), jnp.asarray(t_gt), jnp.asarray(k))
+        x3d = np.asarray(tri.triangulate_dlt(p1, p2, jnp.asarray(x1), jnp.asarray(x2)))
+        np.testing.assert_allclose(x3d, pts, atol=1e-2)
+
+    def test_cheirality_correct_pose_wins(self):
+        pts, x1, x2, k, r_gt, t_gt = make_scene(8, n=50)
+        xn1 = cam.normalize_points(jnp.asarray(x1), jnp.asarray(k))
+        xn2 = cam.normalize_points(jnp.asarray(x2), jnp.asarray(k))
+        good = int(tri.count_cheirality(jnp.asarray(r_gt), jnp.asarray(t_gt), xn1, xn2))
+        bad = int(tri.count_cheirality(jnp.asarray(r_gt), jnp.asarray(-t_gt), xn1, xn2))
+        assert good == 50 and bad < 10
+
+
+class TestTwoView:
+    def test_bootstrap_with_outliers(self):
+        pts, x1, x2, k, r_gt, t_gt = make_scene(9, n=200, noise=0.5, outlier_frac=0.3)
+        res = tv.estimate_relative_pose(
+            jax.random.PRNGKey(0), jnp.asarray(x1), jnp.asarray(x2),
+            jnp.asarray(k), jnp.asarray(k),
+        )
+        assert not bool(res.use_homography)
+        assert int(res.n_inliers) > 100
+        assert rot_err_deg(np.asarray(res.rotation), r_gt) < 0.5
+        assert trans_err_deg(np.asarray(res.translation), t_gt) < 2.0
+
+    def test_planar_scene_picks_homography(self):
+        rng = np.random.default_rng(10)
+        # planar points (z = 5 plane)
+        pts = rng.uniform([-2, -2, 5], [2, 2, 5.0001], size=(150, 3)).astype(np.float32)
+        k = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]], np.float32)
+        r = Rotation.from_euler("xyz", [3, -5, 2], degrees=True).as_matrix().astype(np.float32)
+        t = np.array([0.4, 0.0, 0.1], np.float32)
+
+        def project(p, R, T):
+            c = p @ R.T + T
+            return ((c[:, :2] / c[:, 2:]) * [k[0, 0], k[1, 1]] + [k[0, 2], k[1, 2]]).astype(np.float32)
+
+        x1 = project(pts, np.eye(3, dtype=np.float32), np.zeros(3, np.float32))
+        x2 = project(pts, r, t)
+        res = tv.estimate_relative_pose(
+            jax.random.PRNGKey(1), jnp.asarray(x1), jnp.asarray(x2),
+            jnp.asarray(k), jnp.asarray(k),
+        )
+        assert bool(res.use_homography)
+        assert rot_err_deg(np.asarray(res.rotation), r) < 1.0
+
+
+class TestPnP:
+    def test_epnp_noiseless(self):
+        pts, x1, x2, k, r_gt, t_gt = make_scene(11, n=40)
+        pose = pnp_mod.pnp_epnp(jnp.asarray(pts), jnp.asarray(x2), jnp.asarray(k))
+        assert rot_err_deg(np.asarray(pose.rotation), r_gt) < 0.2
+        np.testing.assert_allclose(np.asarray(pose.translation), t_gt, atol=5e-3)
+
+    def test_epnp_vs_cv2(self):
+        pts, x1, x2, k, r_gt, t_gt = make_scene(12, n=40, noise=0.5)
+        pose = pnp_mod.pnp_epnp(jnp.asarray(pts), jnp.asarray(x2), jnp.asarray(k))
+        ok, rvec, tvec = cv2.solvePnP(pts, x2, k, None, flags=cv2.SOLVEPNP_EPNP)
+        r_cv = cv2.Rodrigues(rvec)[0]
+        assert rot_err_deg(np.asarray(pose.rotation), r_gt) < 1.0
+        assert rot_err_deg(r_cv, r_gt) < 1.0  # sanity both close to gt
+
+    def test_dlt_pnp(self):
+        pts, x1, x2, k, r_gt, t_gt = make_scene(13, n=40)
+        pose = pnp_mod.pnp_dlt(jnp.asarray(pts), jnp.asarray(x2), jnp.asarray(k))
+        assert rot_err_deg(np.asarray(pose.rotation), r_gt) < 0.2
+        np.testing.assert_allclose(np.asarray(pose.translation), t_gt, atol=1e-2)
+
+    def test_pnp_ransac_with_outliers(self):
+        pts, x1, x2, k, r_gt, t_gt = make_scene(14, n=150, noise=0.3, outlier_frac=0.3)
+        pose, inliers, n_inl = pnp_mod.solve_pnp_ransac(
+            jax.random.PRNGKey(2), jnp.asarray(pts), jnp.asarray(x2), jnp.asarray(k)
+        )
+        assert int(n_inl) > 80
+        assert rot_err_deg(np.asarray(pose.rotation), r_gt) < 1.0
+        np.testing.assert_allclose(np.asarray(pose.translation), t_gt, atol=5e-2)
+
+
+class TestICP:
+    def test_recovers_transform(self):
+        rng = np.random.default_rng(15)
+        target = rng.uniform(-1, 1, (300, 3)).astype(np.float32)
+        r_gt = Rotation.from_euler("xyz", [4, -6, 8], degrees=True).as_matrix().astype(np.float32)
+        t_gt = np.array([0.1, -0.05, 0.08], np.float32)
+        # source such that target = R @ source + t
+        source = (target - t_gt) @ r_gt
+        res = icp_mod.icp_vanilla(jnp.asarray(source), jnp.asarray(target))
+        assert rot_err_deg(np.asarray(res.rotation), r_gt) < 0.5
+        np.testing.assert_allclose(np.asarray(res.translation), t_gt, atol=1e-2)
+        assert float(res.rmse) < 1e-3
