@@ -1,0 +1,320 @@
+"""Bundle adjustment with Schur-complement reduction
+(reference: kornia-3d/src/ba.rs:646 bundle_adjust, ba_schur.rs:352
+bundle_adjust_schur — dense reduced camera system M = A − B C⁻¹ Bᵀ, per-3×3
+point-block inversion, B never materialized as a matrix, faer Cholesky,
+point back-substitution; tangent convention [ρ; ω], MIN_Z clamp).
+
+TPU re-design:
+  * observations are flat arrays (cam_idx, pt_idx, uv, weight) — the block
+    Hessian accumulation is ``segment_sum`` over observations (one pass,
+    no hash maps; the reference's string-keyed Problem is explicitly the
+    part NOT to imitate, SURVEY.md §3.4);
+  * the reduced camera system S is assembled by scattering per-point
+    observation-pair outer products Yₐ·Bᵦᵀ into a dense (6P, 6P) buffer —
+    per-point obs lists are padded to a static K at problem build time;
+  * the LM loop is a ``lax.scan``; accept/reject is a `where`-select;
+  * analytic Jacobians ([ρ; ω] left-perturbation), f32 with HIGHEST-precision
+    matmuls (SURVEY.md §7: f32 + conditioning instead of f64).
+
+This single-host kernel is reused verbatim by the distributed BA
+(kornia_tpu.parallel.ba_dist): each device runs the accumulation on its
+observation shard, the reduced system is psum'd, the solve is replicated.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from kornia_tpu.geometry import liegroup as lg
+from kornia_tpu.optim.losses import LOSSES
+
+_MIN_Z = 1e-3  # reference ba_schur.rs:49 z-clamp
+_HI = jax.lax.Precision.HIGHEST
+
+
+@dataclasses.dataclass(frozen=True)
+class BAParams:
+    """Reference BaParams (ba.rs:116)."""
+
+    max_iterations: int = 20
+    lambda_init: float = 1e-4
+    lambda_factor: float = 10.0
+    loss: str = "huber"
+    loss_scale: float = 1.0  # pixels
+    cost_tolerance: float = 1e-9
+
+
+class BAProblem(NamedTuple):
+    """Static-topology BA problem. Build with :func:`build_problem`."""
+
+    poses: jax.Array        # (P, 7) se3 world→camera
+    points: jax.Array       # (N, 3)
+    k: jax.Array            # (3, 3) shared intrinsics
+    obs_cam: jax.Array      # (M,) int32
+    obs_pt: jax.Array       # (M,) int32
+    obs_uv: jax.Array       # (M, 2)
+    obs_w: jax.Array        # (M,) confidence; 0 = padding
+    fixed_poses: jax.Array  # (P,) bool
+    fixed_points: jax.Array  # (N,) bool
+    obs_by_point: jax.Array  # (N, K) int32 obs indices (padded w/ 0)
+    obs_by_point_mask: jax.Array  # (N, K) bool
+
+
+class BAResult(NamedTuple):
+    """Reference BaResult (ba.rs:156)."""
+
+    poses: jax.Array
+    points: jax.Array
+    initial_cost: jax.Array
+    final_cost: jax.Array
+    iterations: jax.Array
+
+
+def build_problem(
+    poses, points, k, obs_cam, obs_pt, obs_uv,
+    obs_w=None, fixed_poses=None, fixed_points=None,
+    max_obs_per_point: Optional[int] = None,
+) -> BAProblem:
+    """Host-side construction: groups observations by point (static
+    topology → static shapes) and pads to K = max obs per point."""
+    obs_cam = np.asarray(obs_cam, np.int32)
+    obs_pt = np.asarray(obs_pt, np.int32)
+    n_pts = np.asarray(points).shape[0]
+    n_poses = np.asarray(poses).shape[0]
+    m = obs_cam.shape[0]
+    if obs_w is None:
+        obs_w = np.ones(m, np.float32)
+    counts = np.bincount(obs_pt, minlength=n_pts)
+    K = int(counts.max()) if max_obs_per_point is None else max_obs_per_point
+    K = max(K, 1)
+    by_pt = np.zeros((n_pts, K), np.int32)
+    by_pt_mask = np.zeros((n_pts, K), bool)
+    slot = np.zeros(n_pts, np.int32)
+    for i in range(m):
+        j = obs_pt[i]
+        if slot[j] < K:
+            by_pt[j, slot[j]] = i
+            by_pt_mask[j, slot[j]] = True
+            slot[j] += 1
+    return BAProblem(
+        poses=jnp.asarray(poses, jnp.float32),
+        points=jnp.asarray(points, jnp.float32),
+        k=jnp.asarray(k, jnp.float32),
+        obs_cam=jnp.asarray(obs_cam),
+        obs_pt=jnp.asarray(obs_pt),
+        obs_uv=jnp.asarray(obs_uv, jnp.float32),
+        obs_w=jnp.asarray(obs_w, jnp.float32),
+        fixed_poses=jnp.zeros(n_poses, bool) if fixed_poses is None else jnp.asarray(fixed_poses),
+        fixed_points=jnp.zeros(n_pts, bool) if fixed_points is None else jnp.asarray(fixed_points),
+        obs_by_point=jnp.asarray(by_pt),
+        obs_by_point_mask=jnp.asarray(by_pt_mask),
+    )
+
+
+# ---------------------------------------------------------------------------
+# residuals + analytic Jacobians
+# ---------------------------------------------------------------------------
+
+
+def _project_with_jacobians(
+    poses: jax.Array, points: jax.Array, k: jax.Array,
+    obs_cam: jax.Array, obs_pt: jax.Array, obs_uv: jax.Array,
+):
+    """Per-observation residual (M, 2), J_pose (M, 2, 6) wrt [ρ; ω] left
+    perturbation, J_pt (M, 2, 3) (reference ba_schur.rs residual/Jacobian
+    conventions, :31-36)."""
+    pose_i = poses[obs_cam]       # (M, 7)
+    pt_i = points[obs_pt]         # (M, 3)
+    p_cam = lg.se3_apply(pose_i, pt_i)  # (M, 3)
+    x, y = p_cam[:, 0], p_cam[:, 1]
+    z = jnp.maximum(p_cam[:, 2], _MIN_Z)
+    fx, fy = k[0, 0], k[1, 1]
+    cx, cy = k[0, 2], k[1, 2]
+    u = fx * x / z + cx
+    v = fy * y / z + cy
+    r = jnp.stack([u, v], axis=-1) - obs_uv  # (M, 2)
+
+    iz = 1.0 / z
+    iz2 = iz * iz
+    zero = jnp.zeros_like(x)
+    # ∂π/∂p_cam (M, 2, 3)
+    jproj = jnp.stack(
+        [
+            jnp.stack([fx * iz, zero, -fx * x * iz2], axis=-1),
+            jnp.stack([zero, fy * iz, -fy * y * iz2], axis=-1),
+        ],
+        axis=-2,
+    )
+    # ∂p_cam/∂δ = [I | −[p_cam]×] (left perturbation exp(δ)·T)
+    jp_rot = -lg.so3_hat(p_cam)  # (M, 3, 3)
+    j_pose = jnp.concatenate(
+        [jproj, jnp.einsum("mij,mjk->mik", jproj, jp_rot, precision=_HI)], axis=-1
+    )  # (M, 2, 6)
+    # ∂p_cam/∂X = R
+    r_mats = lg.quat_to_matrix(pose_i[:, 0:4])  # (M, 3, 3)
+    j_pt = jnp.einsum("mij,mjk->mik", jproj, r_mats, precision=_HI)  # (M, 2, 3)
+    return r, j_pose, j_pt
+
+
+def ba_cost(problem: BAProblem, poses=None, points=None, params: BAParams = BAParams()) -> jax.Array:
+    """Total robust cost (0.5 Σ w·ρ(‖r‖²))."""
+    poses = problem.poses if poses is None else poses
+    points = problem.points if points is None else points
+    r, _, _ = _project_with_jacobians(
+        poses, points, problem.k, problem.obs_cam, problem.obs_pt, problem.obs_uv
+    )
+    sq = jnp.sum(r * r, axis=-1)
+    w = LOSSES[params.loss](sq, params.loss_scale)
+    return 0.5 * jnp.sum(problem.obs_w * w * sq)
+
+
+# ---------------------------------------------------------------------------
+# one damped Schur step (shared by single-host and distributed BA)
+# ---------------------------------------------------------------------------
+
+
+def schur_normal_equations(
+    problem: BAProblem, poses: jax.Array, points: jax.Array,
+    params: BAParams,
+):
+    """Accumulate the block normal equations. Returns
+    (U (P,6,6), g_p (P,6), V (N,3,3), g_x (N,3), B (M,6,3)) where B is the
+    per-observation pose-point coupling block."""
+    p = poses.shape[0]
+    n = points.shape[0]
+    r, j_pose, j_pt = _project_with_jacobians(
+        poses, points, problem.k, problem.obs_cam, problem.obs_pt, problem.obs_uv
+    )
+    sq = jnp.sum(r * r, axis=-1)
+    w = problem.obs_w * LOSSES[params.loss](sq, params.loss_scale)
+    # zero out obs touching fixed structure handled later via masks
+    wj_pose = j_pose * w[:, None, None]
+    wj_pt = j_pt * w[:, None, None]
+
+    u_blocks = jnp.einsum("mki,mkj->mij", wj_pose, j_pose, precision=_HI)  # (M,6,6)
+    v_blocks = jnp.einsum("mki,mkj->mij", wj_pt, j_pt, precision=_HI)      # (M,3,3)
+    b_blocks = jnp.einsum("mki,mkj->mij", wj_pose, j_pt, precision=_HI)    # (M,6,3)
+    gp_terms = -jnp.einsum("mki,mk->mi", wj_pose, r, precision=_HI)        # (M,6)
+    gx_terms = -jnp.einsum("mki,mk->mi", wj_pt, r, precision=_HI)          # (M,3)
+
+    U = jax.ops.segment_sum(u_blocks, problem.obs_cam, num_segments=p)
+    g_p = jax.ops.segment_sum(gp_terms, problem.obs_cam, num_segments=p)
+    V = jax.ops.segment_sum(v_blocks, problem.obs_pt, num_segments=n)
+    g_x = jax.ops.segment_sum(gx_terms, problem.obs_pt, num_segments=n)
+    return U, g_p, V, g_x, b_blocks
+
+
+def reduce_camera_system(
+    problem: BAProblem, U, g_p, V, g_x, b_blocks, lam,
+):
+    """Build the dense reduced camera system S (6P, 6P) and rhs (6P,)
+    (reference ba_schur.rs: M = A − B C⁻¹ Bᵀ with B streamed per point)."""
+    p = U.shape[0]
+    n = V.shape[0]
+    eye3 = jnp.eye(3, dtype=jnp.float32)
+    # damp V, invert per point; fixed points drop out of the reduction
+    v_damped = V + (lam * jnp.maximum(jnp.diagonal(V, axis1=-2, axis2=-1), 1e-9))[..., None, :] * eye3
+    active_pt = (~problem.fixed_points) & (problem.obs_by_point_mask.any(axis=1))
+    v_inv = jnp.where(
+        active_pt[:, None, None],
+        jnp.linalg.inv(v_damped + (~active_pt)[:, None, None] * eye3),
+        0.0,
+    )  # (N, 3, 3)
+
+    # per-observation Y_i = B_i · V⁻¹[pt_i]
+    y_blocks = jnp.einsum(
+        "mij,mjk->mik", b_blocks, v_inv[problem.obs_pt], precision=_HI
+    )  # (M, 6, 3)
+
+    # rhs_p = g_p − Σ_i Y_i g_x[pt_i]
+    rhs_terms = jnp.einsum("mij,mj->mi", y_blocks, g_x[problem.obs_pt], precision=_HI)
+    rhs_p = g_p - jax.ops.segment_sum(rhs_terms, problem.obs_cam, num_segments=p)
+
+    # S = blockdiag(U damped) − Σ_point Σ_{a,b ∈ obs(pt)} Yₐ Bᵦᵀ at (camₐ, camᵦ)
+    by = problem.obs_by_point        # (N, K)
+    bym = problem.obs_by_point_mask  # (N, K)
+    yp = y_blocks[by] * bym[..., None, None]   # (N, K, 6, 3)
+    bp = b_blocks[by] * bym[..., None, None]   # (N, K, 6, 3)
+    camp = problem.obs_cam[by]                 # (N, K)
+    contrib = jnp.einsum("naij,nbkj->nabik", yp, bp, precision=_HI)  # (N,K,K,6,6)
+    pair_idx = (camp[:, :, None] * p + camp[:, None, :]).reshape(-1)  # (N*K*K,)
+    contrib_flat = contrib.reshape(-1, 36)
+    s_pairs = jax.ops.segment_sum(contrib_flat, pair_idx, num_segments=p * p)
+    s = -s_pairs.reshape(p, p, 6, 6)
+    # add damped U on the diagonal
+    u_damped = U + (lam * jnp.maximum(jnp.diagonal(U, axis1=-2, axis2=-1), 1e-9))[..., None, :] * jnp.eye(6, dtype=U.dtype)
+    s = s.at[jnp.arange(p), jnp.arange(p)].add(u_damped)
+
+    # gauge fixing: fixed poses → identity rows/cols, zero rhs
+    free = (~problem.fixed_poses).astype(jnp.float32)
+    s = s * free[:, None, None, None] * free[None, :, None, None]
+    s = s.at[jnp.arange(p), jnp.arange(p)].add(
+        (1.0 - free)[:, None, None] * jnp.eye(6, dtype=s.dtype)
+    )
+    rhs_p = rhs_p * free[:, None]
+
+    s_dense = s.transpose(0, 2, 1, 3).reshape(p * 6, p * 6)
+    return s_dense, rhs_p.reshape(-1), v_inv, y_blocks
+
+
+def back_substitute_points(
+    problem: BAProblem, v_inv, b_blocks, g_x, delta_pose,
+):
+    """δx_j = V⁻¹_j (g_x_j − Σ_{i ∈ obs(j)} Bᵢᵀ δp[camᵢ])."""
+    n = v_inv.shape[0]
+    dp_obs = delta_pose[problem.obs_cam]  # (M, 6)
+    bt_dp = jnp.einsum("mij,mi->mj", b_blocks, dp_obs, precision=_HI)  # (M, 3)
+    acc = jax.ops.segment_sum(bt_dp, problem.obs_pt, num_segments=n)
+    dx = jnp.einsum("nij,nj->ni", v_inv, g_x - acc, precision=_HI)
+    return dx * (~problem.fixed_points)[:, None]
+
+
+def _schur_step(problem: BAProblem, poses, points, lam, params: BAParams):
+    U, g_p, V, g_x, b_blocks = schur_normal_equations(problem, poses, points, params)
+    s_dense, rhs, v_inv, _ = reduce_camera_system(problem, U, g_p, V, g_x, b_blocks, lam)
+    p = poses.shape[0]
+    l = jnp.linalg.cholesky(s_dense)
+    yv = jax.scipy.linalg.solve_triangular(l, rhs, lower=True)
+    delta_pose = jax.scipy.linalg.solve_triangular(l.T, yv, lower=False).reshape(p, 6)
+    delta_pose = delta_pose * (~problem.fixed_poses)[:, None]
+    dx = back_substitute_points(problem, v_inv, b_blocks, g_x, delta_pose)
+    new_poses = lg.se3_retract(poses, delta_pose)
+    new_points = points + dx
+    return new_poses, new_points
+
+
+def bundle_adjust_schur(
+    problem: BAProblem, params: BAParams = BAParams()
+) -> BAResult:
+    """LM-damped Schur BA (reference bundle_adjust_schur, ba_schur.rs:352)."""
+
+    def step(carry, _):
+        poses, points, lam, cost = carry
+        new_poses, new_points = _schur_step(problem, poses, points, lam, params)
+        new_cost = ba_cost(problem, new_poses, new_points, params)
+        accept = new_cost < cost
+        poses_o = jnp.where(accept, new_poses, poses)
+        points_o = jnp.where(accept, new_points, points)
+        lam_o = jnp.clip(
+            jnp.where(accept, lam / params.lambda_factor, lam * params.lambda_factor),
+            1e-10, 1e8,
+        )
+        cost_o = jnp.where(accept, new_cost, cost)
+        return (poses_o, points_o, lam_o, cost_o), cost_o
+
+    c0 = ba_cost(problem, params=params)
+    (poses, points, lam, cost), _ = jax.lax.scan(
+        step,
+        (problem.poses, problem.points, jnp.asarray(params.lambda_init, jnp.float32), c0),
+        None,
+        length=params.max_iterations,
+    )
+    return BAResult(
+        poses=poses, points=points, initial_cost=c0, final_cost=cost,
+        iterations=jnp.asarray(params.max_iterations, jnp.int32),
+    )

@@ -1,0 +1,275 @@
+"""Distributed Schur-complement bundle adjustment
+(the north-star component — BASELINE.json: "BA solved by Schur-complement
+reduction of the camera system over jax.lax collectives (psum of reduced
+camera blocks ...)"; no reference code exists, only the single-host math
+in kornia-3d/src/ba_schur.rs — see SURVEY.md §3.4 / §5.7).
+
+Design:
+  * **Sharding**: points are partitioned contiguously across the mesh's
+    "obs" axis; every observation lives on the shard that owns its point
+    (so the per-point Schur pair products never cross devices). Poses and
+    intrinsics are replicated (6P is small).
+  * **Per step**: each device accumulates its partial pose blocks
+    U, g_p and its partial reduced system S, rhs from local observations →
+    one `psum` of (S, rhs) over ICI → every device runs the same dense
+    Cholesky (replicated solve, no broadcast needed) → local point
+    back-substitution touches only local points.
+  * The LM loop (`lax.scan`) lives *inside* `shard_map`, so the whole
+    optimization is one compiled SPMD program with one collective per
+    iteration.
+
+Host-side `shard_problem` does the static partitioning/padding (topology
+is static, as in optim/ba.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from kornia_tpu.geometry import liegroup as lg
+from kornia_tpu.optim import ba as ba_mod
+from kornia_tpu.optim.ba import BAParams, BAResult
+from kornia_tpu.optim.losses import LOSSES
+from kornia_tpu.parallel.mesh import OBS_AXIS
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+class ShardedBAProblem(NamedTuple):
+    """Device-sharded BA problem (leading axis = device shards)."""
+
+    poses: jax.Array          # (P, 7) replicated
+    points: jax.Array         # (D, Nl, 3) sharded
+    k: jax.Array              # (3, 3) replicated
+    obs_cam: jax.Array        # (D, Ml) int32 global pose ids
+    obs_pt: jax.Array         # (D, Ml) int32 LOCAL point ids
+    obs_uv: jax.Array         # (D, Ml, 2)
+    obs_w: jax.Array          # (D, Ml) 0 = padding
+    fixed_poses: jax.Array    # (P,) replicated
+    fixed_points: jax.Array   # (D, Nl)
+    obs_by_point: jax.Array   # (D, Nl, K) local obs ids
+    obs_by_point_mask: jax.Array  # (D, Nl, K)
+    n_points: int             # true (unpadded) point count
+
+
+def shard_problem(problem: ba_mod.BAProblem, n_devices: int) -> ShardedBAProblem:
+    """Partition a BAProblem: contiguous point ranges per device, each
+    observation co-located with its point, everything padded to equal
+    per-shard sizes."""
+    obs_pt = np.asarray(problem.obs_pt)
+    obs_cam = np.asarray(problem.obs_cam)
+    obs_uv = np.asarray(problem.obs_uv)
+    obs_w = np.asarray(problem.obs_w)
+    points = np.asarray(problem.points)
+    fixed_points = np.asarray(problem.fixed_points)
+    n = points.shape[0]
+
+    nl = -(-n // n_devices)  # points per shard (padded)
+    n_pad = nl * n_devices
+    pts_pad = np.zeros((n_pad, 3), np.float32)
+    pts_pad[:n] = points
+    fixed_pad = np.ones(n_pad, bool)  # padding points are "fixed"
+    fixed_pad[:n] = fixed_points
+
+    # assign each observation to the shard owning its point
+    shard_of_obs = obs_pt // nl
+    ml = max(int(np.bincount(shard_of_obs, minlength=n_devices).max()), 1)
+
+    o_cam = np.zeros((n_devices, ml), np.int32)
+    o_pt = np.zeros((n_devices, ml), np.int32)
+    o_uv = np.zeros((n_devices, ml, 2), np.float32)
+    o_w = np.zeros((n_devices, ml), np.float32)
+    fill = np.zeros(n_devices, np.int32)
+    for i in range(obs_pt.shape[0]):
+        d = shard_of_obs[i]
+        s = fill[d]
+        o_cam[d, s] = obs_cam[i]
+        o_pt[d, s] = obs_pt[i] - d * nl  # local id
+        o_uv[d, s] = obs_uv[i]
+        o_w[d, s] = obs_w[i]
+        fill[d] += 1
+
+    # per-shard obs-by-point lists
+    K = problem.obs_by_point.shape[1]
+    by = np.zeros((n_devices, nl, K), np.int32)
+    bym = np.zeros((n_devices, nl, K), bool)
+    slot = np.zeros((n_devices, nl), np.int32)
+    for d in range(n_devices):
+        for s in range(fill[d]):
+            j = o_pt[d, s]
+            if slot[d, j] < K:
+                by[d, j, slot[d, j]] = s
+                bym[d, j, slot[d, j]] = True
+                slot[d, j] += 1
+
+    return ShardedBAProblem(
+        poses=problem.poses,
+        points=jnp.asarray(pts_pad.reshape(n_devices, nl, 3)),
+        k=problem.k,
+        obs_cam=jnp.asarray(o_cam),
+        obs_pt=jnp.asarray(o_pt),
+        obs_uv=jnp.asarray(o_uv),
+        obs_w=jnp.asarray(o_w),
+        fixed_poses=problem.fixed_poses,
+        fixed_points=jnp.asarray(fixed_pad.reshape(n_devices, nl)),
+        obs_by_point=jnp.asarray(by),
+        obs_by_point_mask=jnp.asarray(bym),
+        n_points=n,
+    )
+
+
+def _local_cost(poses, points_l, k, obs_cam, obs_pt, obs_uv, obs_w, params):
+    r, _, _ = ba_mod._project_with_jacobians(poses, points_l, k, obs_cam, obs_pt, obs_uv)
+    sq = jnp.sum(r * r, axis=-1)
+    w = LOSSES[params.loss](sq, params.loss_scale)
+    return 0.5 * jnp.sum(obs_w * w * sq)
+
+
+def bundle_adjust_schur_dist(
+    sharded: ShardedBAProblem, mesh: Mesh, params: BAParams = BAParams()
+) -> BAResult:
+    """Run the distributed LM-Schur loop as one SPMD program over ``mesh``."""
+    p = sharded.poses.shape[0]
+    axis = mesh.axis_names[0]
+
+    def spmd(poses, points_s, k, obs_cam_s, obs_pt_s, obs_uv_s, obs_w_s,
+             fixed_poses, fixed_points_s, by_s, bym_s):
+        # strip the shard axis (shard_map gives (1, ...) blocks)
+        points_l = points_s[0]
+        obs_cam = obs_cam_s[0]
+        obs_pt = obs_pt_s[0]
+        obs_uv = obs_uv_s[0]
+        obs_w = obs_w_s[0]
+        fixed_points_l = fixed_points_s[0]
+        by = by_s[0]
+        bym = bym_s[0]
+        nl = points_l.shape[0]
+
+        def total_cost(ps, pts_l):
+            local = _local_cost(ps, pts_l, k, obs_cam, obs_pt, obs_uv, obs_w, params)
+            return jax.lax.psum(local, axis)
+
+        def step(carry, _):
+            poses_c, points_c, lam, cost = carry
+            r, j_pose, j_pt = ba_mod._project_with_jacobians(
+                poses_c, points_c, k, obs_cam, obs_pt, obs_uv
+            )
+            sq = jnp.sum(r * r, axis=-1)
+            w = obs_w * LOSSES[params.loss](sq, params.loss_scale)
+            wj_pose = j_pose * w[:, None, None]
+            wj_pt = j_pt * w[:, None, None]
+
+            u_b = jnp.einsum("mki,mkj->mij", wj_pose, j_pose, precision=_HI)
+            v_b = jnp.einsum("mki,mkj->mij", wj_pt, j_pt, precision=_HI)
+            b_b = jnp.einsum("mki,mkj->mij", wj_pose, j_pt, precision=_HI)
+            gp_t = -jnp.einsum("mki,mk->mi", wj_pose, r, precision=_HI)
+            gx_t = -jnp.einsum("mki,mk->mi", wj_pt, r, precision=_HI)
+
+            u_partial = jax.ops.segment_sum(u_b, obs_cam, num_segments=p)
+            gp_partial = jax.ops.segment_sum(gp_t, obs_cam, num_segments=p)
+            # pose blocks need the cross-device sum (poses are shared)
+            U = jax.lax.psum(u_partial, axis)
+            g_p = jax.lax.psum(gp_partial, axis)
+            # point blocks are fully local (obs co-located with points)
+            V = jax.ops.segment_sum(v_b, obs_pt, num_segments=nl)
+            g_x = jax.ops.segment_sum(gx_t, obs_pt, num_segments=nl)
+
+            eye3 = jnp.eye(3, dtype=jnp.float32)
+            v_damped = V + (lam * jnp.maximum(
+                jnp.diagonal(V, axis1=-2, axis2=-1), 1e-9))[..., None, :] * eye3
+            active = (~fixed_points_l) & bym.any(axis=1)
+            v_inv = jnp.where(
+                active[:, None, None],
+                jnp.linalg.inv(v_damped + (~active)[:, None, None] * eye3),
+                0.0,
+            )
+            y_b = jnp.einsum("mij,mjk->mik", b_b, v_inv[obs_pt], precision=_HI)
+
+            rhs_terms = jnp.einsum("mij,mj->mi", y_b, g_x[obs_pt], precision=_HI)
+            rhs_partial = jax.ops.segment_sum(rhs_terms, obs_cam, num_segments=p)
+            rhs_p = g_p - jax.lax.psum(rhs_partial, axis)
+
+            yp = y_b[by] * bym[..., None, None]
+            bp = b_b[by] * bym[..., None, None]
+            camp = obs_cam[by]
+            contrib = jnp.einsum("naij,nbkj->nabik", yp, bp, precision=_HI)
+            pair_idx = (camp[:, :, None] * p + camp[:, None, :]).reshape(-1)
+            s_pairs = jax.ops.segment_sum(
+                contrib.reshape(-1, 36), pair_idx, num_segments=p * p
+            )
+            # ONE collective for the reduced camera system
+            s_pairs = jax.lax.psum(s_pairs, axis)
+            s = -s_pairs.reshape(p, p, 6, 6)
+            u_damped = U + (lam * jnp.maximum(
+                jnp.diagonal(U, axis1=-2, axis2=-1), 1e-9))[..., None, :] * jnp.eye(6, dtype=U.dtype)
+            s = s.at[jnp.arange(p), jnp.arange(p)].add(u_damped)
+
+            free = (~fixed_poses).astype(jnp.float32)
+            s = s * free[:, None, None, None] * free[None, :, None, None]
+            s = s.at[jnp.arange(p), jnp.arange(p)].add(
+                (1.0 - free)[:, None, None] * jnp.eye(6, dtype=s.dtype)
+            )
+            rhs = (rhs_p * free[:, None]).reshape(-1)
+            s_dense = s.transpose(0, 2, 1, 3).reshape(p * 6, p * 6)
+
+            # replicated dense Cholesky (identical on all devices)
+            l = jnp.linalg.cholesky(s_dense)
+            yv = jax.scipy.linalg.solve_triangular(l, rhs, lower=True)
+            dp = jax.scipy.linalg.solve_triangular(l.T, yv, lower=False).reshape(p, 6)
+            dp = dp * free[:, None]
+
+            # local point back-substitution
+            bt_dp = jnp.einsum("mij,mi->mj", b_b, dp[obs_cam], precision=_HI)
+            acc = jax.ops.segment_sum(bt_dp, obs_pt, num_segments=nl)
+            dx = jnp.einsum("nij,nj->ni", v_inv, g_x - acc, precision=_HI)
+            dx = dx * (~fixed_points_l)[:, None]
+
+            new_poses = lg.se3_retract(poses_c, dp)
+            new_points = points_c + dx
+            new_cost = total_cost(new_poses, new_points)
+            accept = new_cost < cost
+            poses_o = jnp.where(accept, new_poses, poses_c)
+            points_o = jnp.where(accept, new_points, points_c)
+            lam_o = jnp.clip(
+                jnp.where(accept, lam / params.lambda_factor, lam * params.lambda_factor),
+                1e-10, 1e8,
+            )
+            return (poses_o, points_o, lam_o, jnp.where(accept, new_cost, cost)), None
+
+        c0 = total_cost(poses, points_l)
+        (poses_f, points_f, lam_f, cost_f), _ = jax.lax.scan(
+            step,
+            (poses, points_l, jnp.asarray(params.lambda_init, jnp.float32), c0),
+            None, length=params.max_iterations,
+        )
+        return poses_f, points_f[None], c0, cost_f
+
+    fn = shard_map(
+        spmd,
+        mesh=mesh,
+        in_specs=(
+            P(), P(axis), P(), P(axis), P(axis), P(axis), P(axis),
+            P(), P(axis), P(axis), P(axis),
+        ),
+        out_specs=(P(), P(axis), P(), P()),
+        check_rep=False,
+    )
+    poses_f, points_sharded, c0, cost_f = fn(
+        sharded.poses, sharded.points, sharded.k,
+        sharded.obs_cam, sharded.obs_pt, sharded.obs_uv, sharded.obs_w,
+        sharded.fixed_poses, sharded.fixed_points,
+        sharded.obs_by_point, sharded.obs_by_point_mask,
+    )
+    points_full = points_sharded.reshape(-1, 3)[: sharded.n_points]
+    return BAResult(
+        poses=poses_f, points=points_full, initial_cost=c0, final_cost=cost_f,
+        iterations=jnp.asarray(params.max_iterations, jnp.int32),
+    )

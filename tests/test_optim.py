@@ -1,0 +1,183 @@
+"""Optimization layer tests: LM on analytic problems, BA and PGO on
+synthetic scenes with known ground truth (reference: kornia-algebra
+tests_l2_baseline.rs, kornia-3d ba/pgo unit tests)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from scipy.spatial.transform import Rotation
+
+from kornia_tpu.geometry import liegroup as lg
+from kornia_tpu.optim import ba as ba_mod
+from kornia_tpu.optim import lm as lm_mod
+from kornia_tpu.optim import pgo as pgo_mod
+
+
+class TestLM:
+    def test_rosenbrock_style(self):
+        # residuals of the classic curve fit y = exp(a x + b)
+        rng = np.random.default_rng(0)
+        xs = np.linspace(0, 1, 30).astype(np.float32)
+        ys = np.exp(0.8 * xs + 0.2).astype(np.float32)
+
+        def res(p):
+            return jnp.exp(p[0] * xs + p[1]) - ys
+
+        out = lm_mod.lm_optimize(res, jnp.asarray([0.0, 0.0]), max_iterations=30)
+        np.testing.assert_allclose(np.asarray(out.params), [0.8, 0.2], atol=1e-4)
+        assert float(out.cost) < 1e-8
+
+    def test_manifold_so3(self):
+        # rotate vectors: find R aligning src→dst, parameterized on SO(3)
+        rng = np.random.default_rng(1)
+        src = jnp.asarray(rng.normal(size=(20, 3)).astype(np.float32))
+        w_gt = jnp.asarray([0.3, -0.2, 0.5], jnp.float32)
+        dst = lg.quat_rotate(lg.so3_exp(w_gt)[None], src)
+
+        def residual(q):
+            return (lg.quat_rotate(q[None], src) - dst).reshape(-1)
+
+        def retract(q, d):
+            return lg.quat_normalize(lg.quat_mul(lg.so3_exp(d), q))
+
+        out = lm_mod.lm_manifold(residual, retract, lg.quat_identity(), 3, max_iterations=20)
+        assert float(out.cost) < 1e-8
+
+
+def make_ba_scene(seed=0, n_poses=6, n_points=120, noise_px=1.0, pose_noise=0.05):
+    rng = np.random.default_rng(seed)
+    k = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]], np.float32)
+    pts = rng.uniform([-3, -2, 6], [3, 2, 12], size=(n_points, 3)).astype(np.float32)
+    poses_gt = []
+    for i in range(n_poses):
+        w = rng.normal(0, 0.03, 3).astype(np.float32)
+        t = np.array([0.4 * i, 0.02 * i, 0.0], np.float32) + rng.normal(0, 0.01, 3).astype(np.float32)
+        q = np.asarray(lg.so3_exp(jnp.asarray(w)))
+        poses_gt.append(np.concatenate([q, -Rotation.from_quat(np.roll(q, -1)).as_matrix() @ t]))
+    poses_gt = np.stack(poses_gt).astype(np.float32)
+
+    obs_cam, obs_pt, obs_uv = [], [], []
+    for c in range(n_poses):
+        pc = np.asarray(lg.se3_apply(jnp.asarray(poses_gt[c])[None], jnp.asarray(pts)))
+        uv = pc[:, :2] / pc[:, 2:] * [k[0, 0], k[1, 1]] + [k[0, 2], k[1, 2]]
+        vis = (pc[:, 2] > 0.1) & (uv[:, 0] > 0) & (uv[:, 0] < 640) & (uv[:, 1] > 0) & (uv[:, 1] < 480)
+        idx = np.nonzero(vis)[0]
+        obs_cam += [c] * len(idx)
+        obs_pt += list(idx)
+        obs_uv += list(uv[idx] + rng.normal(0, noise_px, (len(idx), 2)))
+    obs_cam = np.array(obs_cam, np.int32)
+    obs_pt = np.array(obs_pt, np.int32)
+    obs_uv = np.array(obs_uv, np.float32)
+
+    # perturb initial estimates
+    poses_init = poses_gt.copy()
+    for c in range(1, n_poses):
+        d = rng.normal(0, pose_noise, 6).astype(np.float32)
+        poses_init[c] = np.asarray(lg.se3_retract(jnp.asarray(poses_gt[c]), jnp.asarray(d)))
+    pts_init = pts + rng.normal(0, 0.05, pts.shape).astype(np.float32)
+    fixed = np.zeros(n_poses, bool)
+    fixed[0] = True
+    return poses_gt, poses_init, pts, pts_init, k, obs_cam, obs_pt, obs_uv, fixed
+
+
+class TestBA:
+    def test_schur_reduces_cost_and_recovers_geometry(self):
+        (poses_gt, poses_init, pts_gt, pts_init, k,
+         obs_cam, obs_pt, obs_uv, fixed) = make_ba_scene(noise_px=0.5)
+        problem = ba_mod.build_problem(
+            poses_init, pts_init, k, obs_cam, obs_pt, obs_uv, fixed_poses=fixed
+        )
+        params = ba_mod.BAParams(max_iterations=15, loss="identity")
+        res = jax.jit(lambda pr: ba_mod.bundle_adjust_schur(pr, params))(problem)
+        assert float(res.final_cost) < 0.1 * float(res.initial_cost)
+        # pose error vs gt (rotation)
+        for c in range(len(poses_gt)):
+            q_est = np.asarray(res.poses[c, :4])
+            q_gt = poses_gt[c, :4]
+            dot = abs(np.dot(q_est, q_gt))
+            ang = 2 * np.degrees(np.arccos(np.clip(dot, -1, 1)))
+            assert ang < 0.5, f"pose {c}: {ang} deg"
+
+    def test_noiseless_exact(self):
+        (poses_gt, poses_init, pts_gt, pts_init, k,
+         obs_cam, obs_pt, obs_uv, fixed) = make_ba_scene(noise_px=0.0, pose_noise=0.03)
+        problem = ba_mod.build_problem(
+            poses_init, pts_init, k, obs_cam, obs_pt, obs_uv, fixed_poses=fixed
+        )
+        params = ba_mod.BAParams(max_iterations=20, loss="identity", lambda_init=1e-6)
+        res = ba_mod.bundle_adjust_schur(problem, params)
+        # with zero observation noise the cost must go to ~0
+        assert float(res.final_cost) < 1e-2
+
+    def test_huber_with_outliers(self):
+        (poses_gt, poses_init, pts_gt, pts_init, k,
+         obs_cam, obs_pt, obs_uv, fixed) = make_ba_scene(noise_px=0.3)
+        rng = np.random.default_rng(5)
+        out = rng.choice(len(obs_uv), len(obs_uv) // 10, replace=False)
+        obs_uv[out] += rng.uniform(30, 80, (len(out), 2)).astype(np.float32)
+        problem = ba_mod.build_problem(
+            poses_init, pts_init, k, obs_cam, obs_pt, obs_uv, fixed_poses=fixed
+        )
+        params = ba_mod.BAParams(max_iterations=15, loss="huber", loss_scale=2.0)
+        res = ba_mod.bundle_adjust_schur(problem, params)
+        for c in range(len(poses_gt)):
+            dot = abs(np.dot(np.asarray(res.poses[c, :4]), poses_gt[c, :4]))
+            ang = 2 * np.degrees(np.arccos(np.clip(dot, -1, 1)))
+            assert ang < 1.0, f"pose {c}: {ang} deg"
+
+
+class TestPGO:
+    def make_loop(self, n=12, drift=0.02, seed=0):
+        """Circular trajectory with odometry drift + one loop closure."""
+        rng = np.random.default_rng(seed)
+        poses_gt = []
+        for i in range(n):
+            ang = 2 * np.pi * i / n
+            w = np.array([0, 0, ang], np.float32)
+            t = np.array([np.cos(ang), np.sin(ang), 0], np.float32)
+            q = np.asarray(lg.so3_exp(jnp.asarray(w)))
+            poses_gt.append(np.concatenate([q, t]).astype(np.float32))
+        poses_gt = np.stack(poses_gt)
+
+        edges_i, edges_j, meas = [], [], []
+        for i in range(n - 1):
+            rel = lg.se3_compose(jnp.asarray(poses_gt[i + 1]), lg.se3_inverse(jnp.asarray(poses_gt[i])))
+            noise = jnp.asarray(rng.normal(0, drift, 6).astype(np.float32))
+            meas.append(np.asarray(lg.se3_compose(lg.se3_exp(noise), rel)))
+            edges_i.append(i)
+            edges_j.append(i + 1)
+        # loop closure (exact)
+        rel = lg.se3_compose(jnp.asarray(poses_gt[0]), lg.se3_inverse(jnp.asarray(poses_gt[n - 1])))
+        meas.append(np.asarray(rel))
+        edges_i.append(n - 1)
+        edges_j.append(0)
+
+        # integrate noisy odometry as init
+        init = [poses_gt[0]]
+        for i in range(n - 1):
+            init.append(np.asarray(lg.se3_compose(jnp.asarray(meas[i]), jnp.asarray(init[i]))))
+        return poses_gt, np.stack(init).astype(np.float32), np.array(edges_i), np.array(edges_j), np.stack(meas)
+
+    def test_loop_closure_reduces_error(self):
+        poses_gt, init, ei, ej, meas = self.make_loop()
+        # the loop-closure edge is exact → give it the tight-information
+        # weight a real front-end would
+        w = np.ones(len(ei), np.float32)
+        w[-1] = 100.0
+        res = jax.jit(
+            lambda p: pgo_mod.pose_graph_optimize(p, ei, ej, jnp.asarray(meas), jnp.asarray(w))
+        )(jnp.asarray(init))
+        assert float(res.final_cost) < 0.5 * float(res.initial_cost)
+
+        def ate(ps):
+            return np.sqrt(np.mean(np.sum((np.asarray(ps)[:, 4:] - poses_gt[:, 4:]) ** 2, axis=1)))
+
+        assert ate(res.poses) < 0.75 * ate(init)
+
+    def test_residual_zero_at_gt(self):
+        poses_gt, init, ei, ej, meas = self.make_loop(drift=0.0)
+        r = jax.vmap(pgo_mod.edge_residual)(
+            jnp.asarray(poses_gt)[ei], jnp.asarray(poses_gt)[ej], jnp.asarray(meas)
+        )
+        assert float(jnp.abs(r).max()) < 1e-5
