@@ -10,8 +10,10 @@ from kornia_tpu.geometry import ransac
 from kornia_tpu.geometry import pnp
 from kornia_tpu.geometry import twoview
 from kornia_tpu.geometry import icp
+from kornia_tpu.geometry import stereo
 
 __all__ = [
+    "stereo",
     "liegroup",
     "linalg",
     "camera",

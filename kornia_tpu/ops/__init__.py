@@ -26,8 +26,18 @@ from kornia_tpu.ops import preprocess
 from kornia_tpu.ops import histogram
 from kornia_tpu.ops import canny
 from kornia_tpu.ops import draw
+from kornia_tpu.ops import bayer
+from kornia_tpu.ops import connected_components
+from kornia_tpu.ops import contours
+from kornia_tpu.ops import distance_transform
+from kornia_tpu.ops import optical_flow
 
 __all__ = [
+    "bayer",
+    "connected_components",
+    "contours",
+    "distance_transform",
+    "optical_flow",
     "color",
     "resize",
     "warp",

@@ -1,0 +1,287 @@
+"""Milestone-B dense ops: CCL, distance transform, contours, optical
+flow, bayer demosaic, stereo rectification — cv2 parity where defined.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import cv2
+
+from kornia_tpu.ops import bayer as bayer_mod
+from kornia_tpu.ops import connected_components as ccl
+from kornia_tpu.ops import contours as cont
+from kornia_tpu.ops import distance_transform as dt
+from kornia_tpu.ops import optical_flow as oflow
+from kornia_tpu.geometry import stereo
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.default_rng(7)
+
+
+def _labels_equivalent(a, b):
+    """Two labelings are the same partition (bijective relabeling)."""
+    a = np.asarray(a).reshape(-1)
+    b = np.asarray(b).reshape(-1)
+    fg = (a > 0) if a.min() >= 0 else (a >= 0)
+    fgb = b > 0
+    np.testing.assert_array_equal(fg, fgb)
+    pairs = set(zip(a[fg].tolist(), b[fgb].tolist()))
+    return (len({p[0] for p in pairs}) == len(pairs)
+            and len({p[1] for p in pairs}) == len(pairs))
+
+
+class TestConnectedComponents:
+    def _random_mask(self, rng, shape=(64, 80), p=0.35):
+        return (rng.random(shape) < p).astype(np.uint8)
+
+    @pytest.mark.parametrize("connectivity", [4, 8])
+    def test_host_matches_cv2(self, rng, connectivity):
+        mask = self._random_mask(rng)
+        ours = ccl.connected_components_host(mask, connectivity)
+        n_cv, ref = cv2.connectedComponents(mask, connectivity=connectivity)
+        assert ours.max() == n_cv - 1
+        assert _labels_equivalent(ours, ref)
+
+    @pytest.mark.parametrize("connectivity", [4, 8])
+    def test_jax_matches_host(self, rng, connectivity):
+        mask = self._random_mask(rng, (48, 56), 0.4)
+        jl = np.asarray(ccl.connected_components(
+            jnp.asarray(mask), connectivity))
+        hl = ccl.connected_components_host(mask, connectivity)
+        # convert jax labels (-1 bg) to the same partition check
+        assert _labels_equivalent(jl, hl)
+
+    def test_jax_spiral(self):
+        # a long snake: worst case for naive propagation, few sweeps here
+        mask = np.zeros((32, 32), np.uint8)
+        mask[0, :] = 1
+        mask[:, -1] = 1
+        mask[-1, :] = 1
+        mask[2:, 0] = 1
+        mask[2, 0:29] = 1
+        labels = np.asarray(ccl.connected_components(jnp.asarray(mask), 4))
+        vals = np.unique(labels[mask > 0])
+        assert len(vals) == 1
+
+    def test_relabel_sequential(self, rng):
+        mask = self._random_mask(rng, (32, 32))
+        jl = np.asarray(ccl.connected_components(jnp.asarray(mask), 4))
+        seq = ccl.relabel_sequential(jl)
+        assert seq.min() == 0
+        assert set(np.unique(seq[mask > 0])) == set(
+            range(1, seq.max() + 1))
+
+    def test_numpy_fallback_matches_native(self, rng):
+        mask = self._random_mask(rng, (24, 24))
+        a = ccl._ccl_numpy(mask, 8)
+        b = ccl.connected_components_host(mask, 8)
+        assert _labels_equivalent(a, b)
+
+    def test_label_classes(self):
+        img = np.full((16, 16), 127, np.uint8)
+        img[2:6, 2:6] = 0
+        img[2:6, 8:12] = 255
+        img[10:14, 2:6] = 0
+        labels = ccl.label_classes_host(img, skip=127)
+        assert labels[0, 0] == 0
+        ids = {labels[3, 3], labels[3, 9], labels[11, 3]}
+        assert len(ids) == 3 and 0 not in ids
+
+
+class TestDistanceTransform:
+    def test_matches_cv2_precise(self, rng):
+        mask = (rng.random((64, 96)) < 0.9).astype(np.uint8)
+        ours = np.asarray(dt.distance_transform(jnp.asarray(mask)))
+        ref = cv2.distanceTransform(mask, cv2.DIST_L2, cv2.DIST_MASK_PRECISE)
+        np.testing.assert_allclose(ours, ref, atol=1e-3)
+
+    def test_no_zero_pixels(self):
+        mask = np.ones((16, 16), np.uint8)
+        out = np.asarray(dt.distance_transform(jnp.asarray(mask)))
+        assert np.all(np.isfinite(out))
+
+    def test_single_zero_center(self):
+        mask = np.ones((33, 33), np.uint8)
+        mask[16, 16] = 0
+        out = np.asarray(dt.distance_transform(jnp.asarray(mask)))
+        assert out[16, 16] == 0
+        np.testing.assert_allclose(out[16, 0], 16.0, rtol=1e-6)
+        np.testing.assert_allclose(out[0, 0], np.hypot(16, 16), rtol=1e-6)
+
+
+class TestContours:
+    def test_rectangle(self):
+        mask = np.zeros((32, 32), np.uint8)
+        mask[5:15, 8:20] = 1
+        cs = cont.find_contours(mask)
+        assert len(cs) == 1
+        c = cs[0]
+        # boundary pixels = pixels of the rect border
+        expect = {(y, x) for y in range(5, 15) for x in range(8, 20)
+                  if y in (5, 14) or x in (8, 19)}
+        assert {tuple(p) for p in c} == expect
+        assert abs(cont.contour_area(c) - 9 * 11) < 1e-9
+        per = cont.contour_perimeter(c)
+        assert per == pytest.approx(2 * (9 + 11), rel=0.01)
+
+    def test_multiple_and_single_pixel(self):
+        mask = np.zeros((20, 20), np.uint8)
+        mask[2, 2] = 1
+        mask[10:13, 10:13] = 1
+        cs = cont.find_contours(mask)
+        assert len(cs) == 2
+        assert len(cs[0]) == 1  # isolated pixel
+
+    def test_approx_polygon(self):
+        mask = np.zeros((40, 40), np.uint8)
+        mask[5:30, 5:30] = 1
+        c = cont.find_contours(mask)[0]
+        poly = cont.approx_polygon(c, epsilon=1.5)
+        assert 3 <= len(poly) <= 8  # a square collapses to ~4 corners
+
+
+class TestOpticalFlowLK:
+    def _corner_rich(self, rng, h=120, w=160):
+        img = (rng.random((h // 8, w // 8)) * 255).astype(np.uint8)
+        return cv2.resize(img, (w, h), interpolation=cv2.INTER_NEAREST)
+
+    def test_pure_translation(self, rng):
+        img0 = self._corner_rich(rng)
+        shift = (3.0, -2.0)
+        m = np.float32([[1, 0, shift[0]], [0, 1, shift[1]]])
+        img1 = cv2.warpAffine(img0, m, (img0.shape[1], img0.shape[0]))
+
+        pts = cv2.goodFeaturesToTrack(img0, 40, 0.05, 10).reshape(-1, 2)
+        keep = ((pts[:, 0] > 15) & (pts[:, 0] < img0.shape[1] - 18)
+                & (pts[:, 1] > 15) & (pts[:, 1] < img0.shape[0] - 18))
+        pts = pts[keep]
+        params = oflow.PyrLKParams(window=21, max_level=2)
+        res = oflow.calc_optical_flow_pyr_lk(
+            jnp.asarray(img0), jnp.asarray(img1), jnp.asarray(pts), params)
+        got = np.asarray(res.points)
+        ok = np.asarray(res.status)
+        assert ok.mean() > 0.8
+        flow = got[ok] - pts[ok]
+        err = np.linalg.norm(flow - np.asarray(shift), axis=1)
+        assert np.median(err) < 0.25
+
+    def test_matches_cv2(self, rng):
+        img0 = self._corner_rich(rng)
+        m = cv2.getRotationMatrix2D((80, 60), 2.0, 1.0)
+        m[0, 2] += 1.5
+        img1 = cv2.warpAffine(img0, m, (img0.shape[1], img0.shape[0]))
+        pts = cv2.goodFeaturesToTrack(img0, 30, 0.05, 12).reshape(-1, 2)
+
+        cv_pts, cv_st, _ = cv2.calcOpticalFlowPyrLK(
+            img0, img1, pts.reshape(-1, 1, 2), None,
+            winSize=(21, 21), maxLevel=2)
+        cv_pts = cv_pts.reshape(-1, 2)
+        cv_st = cv_st.reshape(-1).astype(bool)
+
+        params = oflow.PyrLKParams(window=21, max_level=2)
+        res = oflow.calc_optical_flow_pyr_lk(
+            jnp.asarray(img0), jnp.asarray(img1), jnp.asarray(pts), params)
+        both = cv_st & np.asarray(res.status)
+        assert both.sum() >= 10
+        d = np.linalg.norm(np.asarray(res.points)[both] - cv_pts[both],
+                           axis=1)
+        assert np.median(d) < 0.5
+
+    def test_precomputed_reuse(self, rng):
+        img0 = self._corner_rich(rng, 64, 64)
+        img1 = np.roll(img0, 2, axis=1)
+        pts = np.array([[30.0, 30.0], [40.0, 20.0]], np.float32)
+        params = oflow.PyrLKParams(window=15, max_level=1)
+        pre = oflow.build_lk_precomputed(
+            jnp.asarray(img0), jnp.asarray(img1), params)
+        r1 = oflow.calc_optical_flow_pyr_lk_with_precomputed(
+            pre, jnp.asarray(pts), params)
+        r2 = oflow.calc_optical_flow_pyr_lk(
+            jnp.asarray(img0), jnp.asarray(img1), jnp.asarray(pts), params)
+        np.testing.assert_allclose(np.asarray(r1.points),
+                                   np.asarray(r2.points), atol=1e-5)
+
+
+class TestBayer:
+    @pytest.mark.parametrize("pattern", ["rggb", "bggr", "grbg", "gbrg"])
+    def test_smooth_roundtrip(self, pattern):
+        y, x = np.mgrid[0:64, 0:64]
+        rgb = np.stack([x * 2, y * 2, (x + y)], -1).astype(np.uint8)
+        raw = np.asarray(bayer_mod.mosaic(jnp.asarray(rgb), pattern))
+        out = np.asarray(bayer_mod.demosaic_bilinear(
+            jnp.asarray(raw), pattern))
+        inner = (slice(4, -4), slice(4, -4))
+        err = np.abs(out[inner].astype(int) - rgb[inner].astype(int))
+        assert err.max() <= 3
+
+    def test_matches_cv2_corridor(self, rng):
+        # natural-ish smooth image; compare against cv2's bilinear demosaic
+        img = cv2.GaussianBlur(
+            rng.integers(0, 256, (64, 64, 3), np.uint8), (7, 7), 2.0)
+        raw = np.asarray(bayer_mod.mosaic(jnp.asarray(img), "rggb"))
+        ours = np.asarray(bayer_mod.demosaic_bilinear(
+            jnp.asarray(raw), "rggb"))
+        ref = cv2.cvtColor(raw, cv2.COLOR_BayerBG2RGB)  # cv2 naming: BG=RGGB
+        inner = (slice(2, -2), slice(2, -2))
+        diff = np.abs(ours[inner].astype(int) - ref[inner].astype(int))
+        # cv2 uses a different edge kernel for green; corridor not exactness
+        assert np.mean(diff) < 3.0
+
+
+class TestStereoRectify:
+    def _calib(self):
+        k1 = np.array([[458.0, 0, 367.2], [0, 457.3, 248.4], [0, 0, 1]])
+        k2 = np.array([[457.6, 0, 379.0], [0, 456.1, 255.2], [0, 0, 1]])
+        rvec = np.array([0.003, -0.002, 0.001])
+        r, _ = cv2.Rodrigues(rvec)
+        t = np.array([-0.11, 0.0003, 0.0005])
+        return k1, k2, r, t
+
+    def test_matches_cv2(self):
+        k1, k2, r, t = self._calib()
+        size_wh = (752, 480)
+        zero_d = np.zeros(5)
+        r1c, r2c, p1c, p2c, qc, _, _ = cv2.stereoRectify(
+            k1, zero_d, k2, zero_d, size_wh, r, t.reshape(3, 1),
+            flags=0, alpha=-1)
+        r1, r2, p1, p2, q = stereo.stereo_rectify(
+            k1, None, k2, None, (480, 752), r, t)
+        # rectifying rotations must match cv2 (same Bouguet construction)
+        np.testing.assert_allclose(r1, r1c, atol=1e-6)
+        np.testing.assert_allclose(r2, r2c, atol=1e-6)
+        # epipolar contract: rows aligned — same fy/cy in both P matrices
+        assert p1[1, 1] == p2[1, 1] and p1[1, 2] == p2[1, 2]
+        # baseline consistent with cv2's
+        bl_cv = abs(p2c[0, 3] / p2c[0, 0])
+        rect = stereo.StereoRectifier.from_calib(
+            k1, None, k2, None, (480, 752), r, t)
+        assert rect.baseline == pytest.approx(bl_cv, rel=0.01)
+        assert rect.bf == pytest.approx(rect.p2[0, 0] * rect.baseline)
+
+    def test_rectified_rows_align(self, rng):
+        """Project a 3D point into both rectified views: same row."""
+        k1, k2, r, t = self._calib()
+        r1, r2, p1, p2, _ = stereo.stereo_rectify(
+            k1, None, k2, None, (480, 752), r, t)
+        pts = rng.uniform([-1, -1, 4], [1, 1, 8], (50, 3))
+        # cam1 frame; rectified cams: x1 = P1 [R1 p; 1], x2 = P2 [R2 (r p + t)]
+        pr1 = (r1 @ pts.T).T
+        pr2 = (r2 @ (r @ pts.T + t[:, None])).T
+        u1 = pr1 @ p1[:, :3].T
+        u2 = pr2 @ p2[:, :3].T + p2[:, 3]
+        v1 = u1[:, 1] / u1[:, 2]
+        v2 = u2[:, 1] / u2[:, 2]
+        np.testing.assert_allclose(v1, v2, atol=1e-6)
+
+    def test_rectify_identity_maps(self):
+        """No distortion + identity R ⇒ maps are near-identity."""
+        k = np.array([[100.0, 0, 32], [0, 100.0, 24], [0, 0, 1]])
+        mx, my = stereo.init_undistort_rectify_map(
+            k, None, np.eye(3), np.hstack([k, np.zeros((3, 1))]), (48, 64))
+        gx, gy = np.meshgrid(np.arange(64), np.arange(48))
+        np.testing.assert_allclose(np.asarray(mx), gx, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(my), gy, atol=1e-4)
