@@ -74,9 +74,12 @@ def main():
     gauss_fn = jax.jit(lambda x: filters.gaussian_blur(x, (5, 5), 1.5))
     results["gaussian5x5_1080p"] = _best_of(lambda: gauss_fn(frame))
 
+    # NB: m must be a runtime argument — captured as a jit constant, XLA
+    # folds the index maps into 16 MB literal arrays and the gather takes
+    # the slow opaque-index path (70 ms vs 0.08 ms, measured on v5e).
     m = jnp.asarray([[0.9, 0.2, 10.0], [-0.1, 1.05, -5.0]], jnp.float32)
-    warp_fn = jax.jit(lambda x: warp.warp_affine(x, m, (1080, 1920)))
-    results["warp_affine_1080p"] = _best_of(lambda: warp_fn(frame))
+    warp_fn = jax.jit(lambda x, mm: warp.warp_affine(x, mm, (1080, 1920)))
+    results["warp_affine_1080p"] = _best_of(lambda: warp_fn(frame, m))
 
     gray = gray_fn(frame)[..., 0]
     fast_fn = jax.jit(lambda g: fast.fast_detect(g, threshold=20.0, max_keypoints=4096))

@@ -40,6 +40,7 @@ from kornia_tpu import geometry
 from kornia_tpu import optim
 from kornia_tpu import io
 from kornia_tpu import utils
+from kornia_tpu import augmentations
 
 __all__ = [
     "image",
@@ -49,5 +50,6 @@ __all__ = [
     "optim",
     "io",
     "utils",
+    "augmentations",
     "__version__",
 ]

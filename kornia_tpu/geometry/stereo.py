@@ -117,9 +117,15 @@ def init_undistort_rectify_map(
     Same contract as cv2.initUndistortRectifyMap.
     """
     h, w = image_size
-    k = jnp.asarray(k, jnp.float32)
-    rr = jnp.asarray(np.linalg.inv(r_rect), jnp.float32)
-    p = np.asarray(p_new, np.float64)
+    # optimization_barrier: the calib params are tiny trace-time
+    # constants; without the barrier XLA folds the whole map into 16 MB
+    # literals whose opaque indices hit the ~1000×-slower gather path
+    # (same pathology as remap with precomputed maps).
+    k = jax.lax.optimization_barrier(jnp.asarray(k, jnp.float32))
+    rr = jax.lax.optimization_barrier(
+        jnp.asarray(np.linalg.inv(r_rect), jnp.float32))
+    p = jax.lax.optimization_barrier(
+        jnp.asarray(np.asarray(p_new, np.float32)))
     fx_n, fy_n = p[0, 0], p[1, 1]
     cx_n, cy_n = p[0, 2], p[1, 2]
 
@@ -133,7 +139,9 @@ def init_undistort_rectify_map(
     yn2 = dirs[..., 1] / dirs[..., 2]
     if dist is not None:
         xy = jnp.stack([xn2.reshape(-1), yn2.reshape(-1)], axis=-1)
-        xy = distort_points_polynomial(xy, jnp.asarray(dist, jnp.float32))
+        xy = distort_points_polynomial(
+            xy, jax.lax.optimization_barrier(
+                jnp.asarray(dist, jnp.float32)))
         xn2 = xy[:, 0].reshape(h, w)
         yn2 = xy[:, 1].reshape(h, w)
     map_x = xn2 * k[0, 0] + k[0, 2]
@@ -147,15 +155,24 @@ class StereoRectifier:
 
     Reference: StereoRectifier::from_calib (stereo/rectify.rs:56-105),
     rectify_left/right (:209-218), baseline/bf (:195-200).
+
+    rectify_left/right recompute the map arithmetic *inside* the jitted
+    gather (in-program indices ride XLA's fast gather lowering; opaque
+    precomputed map arrays are ~1000× slower on TPU — see
+    camera.undistort_image). ``map_left/map_right`` remain available for
+    inspection/off-device use.
     """
 
+    k1: np.ndarray
+    d1: Optional[np.ndarray]
+    k2: np.ndarray
+    d2: Optional[np.ndarray]
+    image_size: Tuple[int, int]
     r1: np.ndarray
     r2: np.ndarray
     p1: np.ndarray
     p2: np.ndarray
     q: np.ndarray
-    map_left: Tuple[jax.Array, jax.Array]
-    map_right: Tuple[jax.Array, jax.Array]
 
     @classmethod
     def from_calib(
@@ -166,11 +183,20 @@ class StereoRectifier:
         r: np.ndarray, t: np.ndarray,
     ) -> "StereoRectifier":
         r1, r2, p1, p2, q = stereo_rectify(k1, d1, k2, d2, image_size, r, t)
-        return cls(
-            r1=r1, r2=r2, p1=p1, p2=p2, q=q,
-            map_left=init_undistort_rectify_map(k1, d1, r1, p1, image_size),
-            map_right=init_undistort_rectify_map(k2, d2, r2, p2, image_size),
-        )
+        return cls(k1=np.asarray(k1, np.float64), d1=d1,
+                   k2=np.asarray(k2, np.float64), d2=d2,
+                   image_size=tuple(image_size),
+                   r1=r1, r2=r2, p1=p1, p2=p2, q=q)
+
+    @property
+    def map_left(self) -> Tuple[jax.Array, jax.Array]:
+        return init_undistort_rectify_map(
+            self.k1, self.d1, self.r1, self.p1, self.image_size)
+
+    @property
+    def map_right(self) -> Tuple[jax.Array, jax.Array]:
+        return init_undistort_rectify_map(
+            self.k2, self.d2, self.r2, self.p2, self.image_size)
 
     @property
     def baseline(self) -> float:
@@ -184,8 +210,13 @@ class StereoRectifier:
         """focal × baseline (the stereo-depth constant)."""
         return float(self.p2[0, 0] * self.baseline)
 
+    def _rectify(self, img, k, dist, r_rect, p_new, mode):
+        mx, my = init_undistort_rectify_map(
+            k, dist, r_rect, p_new, self.image_size)
+        return remap(img, mx, my, mode)
+
     def rectify_left(self, img: jax.Array, mode: str = "bilinear") -> jax.Array:
-        return remap(img, self.map_left[0], self.map_left[1], mode)
+        return self._rectify(img, self.k1, self.d1, self.r1, self.p1, mode)
 
     def rectify_right(self, img: jax.Array, mode: str = "bilinear") -> jax.Array:
-        return remap(img, self.map_right[0], self.map_right[1], mode)
+        return self._rectify(img, self.k2, self.d2, self.r2, self.p2, mode)

@@ -31,8 +31,10 @@ from kornia_tpu.ops import connected_components
 from kornia_tpu.ops import contours
 from kornia_tpu.ops import distance_transform
 from kornia_tpu.ops import optical_flow
+from kornia_tpu.ops import depth
 
 __all__ = [
+    "depth",
     "bayer",
     "connected_components",
     "contours",
