@@ -32,7 +32,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from kornia_tpu.geometry import liegroup as lg
 from kornia_tpu.optim import ba as ba_mod
@@ -260,7 +260,7 @@ def bundle_adjust_schur_dist(
             P(), P(axis), P(axis), P(axis),
         ),
         out_specs=(P(), P(axis), P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     poses_f, points_sharded, c0, cost_f = fn(
         sharded.poses, sharded.points, sharded.k,
