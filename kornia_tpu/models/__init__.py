@@ -1,1 +1,38 @@
-"""Subpackage of kornia_tpu."""
+"""Model zoo (TPU re-design of crates/kornia-vlm): SmolVLM-class VLM in
+flax — SigLIP vision tower, llama-style decoder with static KV cache,
+pixel-shuffle connector, scan-based generation."""
+
+from kornia_tpu.models.vit import ViTConfig, VisionTransformer
+from kornia_tpu.models.llm import CausalLM, KVCache, LLMConfig
+from kornia_tpu.models.vlm import (
+    GenerationResult,
+    SmolVLM,
+    VLMConfig,
+    build_vlm,
+    generate,
+    load_params,
+    sample_video_frames,
+)
+from kornia_tpu.models.processor import (
+    build_prompt_tokens,
+    preprocess_image,
+    split_into_tiles,
+)
+
+__all__ = [
+    "ViTConfig",
+    "VisionTransformer",
+    "CausalLM",
+    "KVCache",
+    "LLMConfig",
+    "SmolVLM",
+    "VLMConfig",
+    "GenerationResult",
+    "build_vlm",
+    "generate",
+    "load_params",
+    "sample_video_frames",
+    "preprocess_image",
+    "split_into_tiles",
+    "build_prompt_tokens",
+]

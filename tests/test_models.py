@@ -1,0 +1,195 @@
+"""Model zoo tests: ViT shapes, KV-cache consistency, multimodal embed
+splicing, scan-generation determinism, processor."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from kornia_tpu import models as M
+
+
+TINY = M.VLMConfig(
+    vision=M.ViTConfig(image_size=56, patch_size=14, hidden_size=32,
+                       intermediate_size=64, num_layers=2, num_heads=2),
+    text=M.LLMConfig(vocab_size=128, hidden_size=48, intermediate_size=96,
+                     num_layers=2, num_heads=4, num_kv_heads=2,
+                     max_seq_len=64),
+    pixel_shuffle_factor=2,
+    image_token_id=100,
+)
+
+
+@pytest.fixture(scope="module")
+def vlm():
+    return M.build_vlm(TINY, seed=0)
+
+
+class TestViT:
+    def test_shapes(self):
+        cfg = TINY.vision
+        model = M.VisionTransformer(cfg)
+        x = jnp.zeros((2, 56, 56, 3))
+        params = model.init(jax.random.PRNGKey(0), x)
+        out = model.apply(params, x)
+        assert out.shape == (2, 16, 32)  # (56/14)² = 16 patches
+
+
+class TestLLM:
+    def test_kv_cache_matches_full_forward(self):
+        """Incremental decode through the cache == one-shot forward."""
+        cfg = TINY.text
+        model = M.CausalLM(cfg)
+        rng = np.random.default_rng(0)
+        toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 10)),
+                           jnp.int32)
+        cache0 = M.KVCache.zeros(cfg, 1)
+        params = model.init(jax.random.PRNGKey(1),
+                            jnp.zeros((1, 1, cfg.hidden_size)), cache0)
+
+        emb = model.apply(params, toks, method=M.CausalLM.embed_tokens)
+        full_logits, _ = model.apply(params, emb, cache0)
+
+        # token-by-token
+        cache = cache0
+        steps = []
+        for t in range(10):
+            logits, cache = model.apply(params, emb[:, t: t + 1], cache)
+            steps.append(logits[:, 0])
+        inc_logits = jnp.stack(steps, axis=1)
+        np.testing.assert_allclose(
+            np.asarray(full_logits), np.asarray(inc_logits), atol=2e-4)
+
+    def test_causality(self):
+        """Changing a future token must not affect earlier logits."""
+        cfg = TINY.text
+        model = M.CausalLM(cfg)
+        cache0 = M.KVCache.zeros(cfg, 1)
+        params = model.init(jax.random.PRNGKey(2),
+                            jnp.zeros((1, 1, cfg.hidden_size)), cache0)
+        rng = np.random.default_rng(1)
+        toks = rng.integers(0, cfg.vocab_size, (1, 8))
+        toks2 = toks.copy()
+        toks2[0, -1] = (toks2[0, -1] + 1) % cfg.vocab_size
+
+        def logits_of(t):
+            emb = model.apply(params, jnp.asarray(t, jnp.int32),
+                              method=M.CausalLM.embed_tokens)
+            lg, _ = model.apply(params, emb, cache0)
+            return np.asarray(lg)
+
+        a = logits_of(toks)
+        b = logits_of(toks2)
+        np.testing.assert_allclose(a[:, :-1], b[:, :-1], atol=1e-5)
+        assert np.abs(a[:, -1] - b[:, -1]).max() > 1e-4
+
+
+class TestVLM:
+    def test_image_token_splicing(self, vlm):
+        model, params = vlm
+        cfg = TINY
+        n_img = cfg.tokens_per_image
+        rng = np.random.default_rng(3)
+        toks = np.asarray(
+            [1] + [cfg.image_token_id] * n_img + [5, 6, 7], np.int32)[None]
+        imgs = rng.standard_normal(
+            (1, cfg.vision.image_size, cfg.vision.image_size, 3)
+        ).astype(np.float32)
+
+        feats = model.apply(params, jnp.asarray(imgs),
+                            method=SmolVLMEncode)
+        emb = model.apply(params, jnp.asarray(toks), feats,
+                          method=lambda m, t, f: m.embed_multimodal(t, f))
+        # image positions carry image features, text positions don't
+        np.testing.assert_allclose(
+            np.asarray(emb[0, 1: 1 + n_img]), np.asarray(feats[0]),
+            atol=1e-6)
+
+    def test_forward_and_generate(self, vlm):
+        model, params = vlm
+        cfg = TINY
+        rng = np.random.default_rng(4)
+        n_img = cfg.tokens_per_image
+        toks = np.asarray(
+            [1] + [cfg.image_token_id] * n_img + [5, 6], np.int32)[None]
+        imgs = rng.standard_normal(
+            (1, cfg.vision.image_size, cfg.vision.image_size, 3)
+        ).astype(np.float32)
+
+        res1 = M.generate(model, params, toks, imgs, max_new_tokens=8,
+                          eos_token_id=2)
+        res2 = M.generate(model, params, toks, imgs, max_new_tokens=8,
+                          eos_token_id=2)
+        assert res1.tokens.shape == (1, 8)
+        np.testing.assert_array_equal(np.asarray(res1.tokens),
+                                      np.asarray(res2.tokens))  # greedy
+
+    def test_generation_affected_by_image(self, vlm):
+        model, params = vlm
+        cfg = TINY
+        rng = np.random.default_rng(5)
+        n_img = cfg.tokens_per_image
+        toks = np.asarray(
+            [1] + [cfg.image_token_id] * n_img + [5], np.int32)[None]
+        img_a = rng.standard_normal(
+            (1, cfg.vision.image_size, cfg.vision.image_size, 3)
+        ).astype(np.float32)
+        img_b = -img_a
+        ra = M.generate(model, params, toks, img_a, max_new_tokens=6)
+        rb = M.generate(model, params, toks, img_b, max_new_tokens=6)
+        assert not np.array_equal(np.asarray(ra.tokens),
+                                  np.asarray(rb.tokens))
+
+    def test_stream_callback(self, vlm):
+        model, params = vlm
+        toks = np.asarray([1, 5, 6], np.int32)[None]
+        seen = []
+        M.generate(model, params, toks, None, max_new_tokens=5,
+                   stream_callback=seen.append)
+        assert len(seen) >= 1
+
+    def test_load_params_overlay(self, vlm):
+        model, params = vlm
+        import flax.traverse_util as tu
+        flat = tu.flatten_dict(params, sep="/")
+        key = next(k for k in flat if k.endswith("connector/kernel"))
+        new = np.zeros_like(flat[key])
+        p2 = M.load_params(params, {key: new})
+        flat2 = tu.flatten_dict(p2, sep="/")
+        assert np.all(np.asarray(flat2[key]) == 0)
+        with pytest.raises(KeyError):
+            M.load_params(params, {"bogus/path": new})
+
+
+def SmolVLMEncode(model, images):
+    return model.encode_images(images)
+
+
+class TestProcessor:
+    def test_preprocess_range(self):
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 256, (100, 160, 3), np.uint8)
+        out = M.preprocess_image(img, image_size=56)
+        assert out.shape == (1, 56, 56, 3)
+        o = np.asarray(out)
+        assert o.min() >= -1.001 and o.max() <= 1.001
+
+    def test_tiles(self):
+        rng = np.random.default_rng(1)
+        img = rng.integers(0, 256, (400, 800, 3), np.uint8)
+        tiles = M.split_into_tiles(img, tile=56, max_tiles=4)
+        assert tiles.shape[1:] == (56, 56, 3)
+        assert tiles.shape[0] >= 2  # at least one tile + thumbnail
+
+    def test_video_sampling(self):
+        idx = M.sample_video_frames(100, 8)
+        assert len(idx) == 8 and idx[0] == 0 and idx[-1] == 99
+        assert np.all(np.diff(idx) > 0)
+        assert len(M.sample_video_frames(3, 8)) == 3
+        assert len(M.sample_video_frames(0, 8)) == 0
+
+    def test_prompt_tokens(self):
+        t = M.build_prompt_tokens([7, 8], n_image_tokens=3,
+                                  image_token_id=100)
+        assert t.tolist() == [1, 100, 100, 100, 7, 8]
