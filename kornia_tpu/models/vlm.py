@@ -108,6 +108,9 @@ class GenerationResult(NamedTuple):
     n_generated: jax.Array  # (B,) count before eos
 
 
+_GEN_CACHE: dict = {}
+
+
 def build_vlm(cfg: VLMConfig = VLMConfig(), seed: int = 0):
     """Init a SmolVLM with random weights; returns (model, params)."""
     model = SmolVLM(cfg)
@@ -161,8 +164,22 @@ def generate(
     b = tokens.shape[0]
     imgs = None if images is None else jnp.asarray(images)
 
+    # one compiled program per (model, shape, knobs) — without the cache
+    # every generate() call would re-trace the whole scan
+    cache_key = (id(model), tokens.shape,
+                 None if imgs is None else imgs.shape,
+                 max_new_tokens, eos_token_id, temperature)
+    cached = _GEN_CACHE.get(cache_key)
+    if cached is not None:
+        out, n_gen = cached(params, tokens, imgs, jax.random.PRNGKey(seed))
+        if stream_callback is not None:
+            host = np.asarray(out)
+            for t in host[0][: int(n_gen[0]) + 1]:
+                stream_callback(int(t))
+        return GenerationResult(tokens=out, n_generated=n_gen)
+
     @jax.jit
-    def run(tokens, imgs_or_none, key):
+    def run(params, tokens, imgs_or_none, key):
         cache = KVCache.zeros(cfg.text, b)
         logits, cache = model.apply(params, tokens, imgs_or_none, cache)
         last = logits[:, -1]
@@ -192,7 +209,8 @@ def generate(
         n_gen = jnp.sum(jnp.cumsum(out == eos_token_id, axis=1) == 0, axis=1)
         return out, n_gen
 
-    out, n_gen = run(tokens, imgs, jax.random.PRNGKey(seed))
+    _GEN_CACHE[cache_key] = run
+    out, n_gen = run(params, tokens, imgs, jax.random.PRNGKey(seed))
     if stream_callback is not None:
         host = np.asarray(out)
         for t in host[0][: int(n_gen[0]) + 1]:
