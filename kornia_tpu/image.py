@@ -226,12 +226,33 @@ class Image:
     def numpy(self) -> np.ndarray:
         return np.asarray(jax.device_get(self.data))
 
-    # DLPack interop (reference kornia-tensor/src/dlpack.rs:73)
+    # DLPack interop (reference kornia-tensor/src/dlpack.rs:73,
+    # kornia-py/src/dlpack.rs __dlpack__/__cuda_array_interface__)
     def __dlpack__(self, stream: Any = None):
         return self.data.__dlpack__(stream=stream)
 
     def __dlpack_device__(self):
         return self.data.__dlpack_device__()
+
+    @classmethod
+    def from_dlpack(cls, ext_tensor, color_space=None) -> "Image":
+        """Zero-copy import of any __dlpack__ producer (torch, numpy,
+        cupy, …) — reference: numpy-as-borrowed-ForeignResource
+        (kornia-tensor/src/resource.rs:229)."""
+        arr = jnp.from_dlpack(ext_tensor)
+        return cls(data=arr, color_space=color_space or ColorSpace.UNKNOWN)
+
+    def to_torch(self):
+        """Export to a torch tensor via DLPack (zero-copy on shared
+        backends; reference: kornia-py test_torch_zero_copy.py)."""
+        import torch.utils.dlpack as tdl
+
+        return tdl.from_dlpack(self.data)
+
+    @classmethod
+    def from_torch(cls, tensor, color_space=None) -> "Image":
+        """Import a torch tensor via DLPack."""
+        return cls.from_dlpack(tensor, color_space=color_space)
 
 
 def as_array(img) -> jax.Array:

@@ -1,0 +1,139 @@
+"""Video + camera capture (reference: kornia-io gstreamer/{video,capture,
+rtsp}.rs and v4l/). Backed by OpenCV's capture stack in this build —
+GStreamer/V4L2 daemons are out of scope for pod workloads (SURVEY.md §7
+"What NOT to rebuild") but the reader/writer/camera API surface is kept.
+Everything is host-side; frames are numpy HWC u8 RGB.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+try:
+    import cv2 as _cv2
+except ImportError:  # pragma: no cover
+    _cv2 = None
+
+
+class VideoError(Exception):
+    """Raised when a stream cannot be opened/read/written."""
+
+
+def _require_cv2():
+    if _cv2 is None:
+        raise VideoError("video support requires OpenCV (cv2)")
+
+
+class VideoReader:
+    """Frame iterator over a video file (reference VideoReader,
+    gstreamer/video.rs:230)."""
+
+    def __init__(self, path: str):
+        _require_cv2()
+        self._cap = _cv2.VideoCapture(path)
+        if not self._cap.isOpened():
+            raise VideoError(f"cannot open video: {path}")
+
+    @property
+    def fps(self) -> float:
+        return float(self._cap.get(_cv2.CAP_PROP_FPS))
+
+    @property
+    def size(self) -> Tuple[int, int]:
+        """(h, w)"""
+        return (int(self._cap.get(_cv2.CAP_PROP_FRAME_HEIGHT)),
+                int(self._cap.get(_cv2.CAP_PROP_FRAME_WIDTH)))
+
+    @property
+    def n_frames(self) -> int:
+        return int(self._cap.get(_cv2.CAP_PROP_FRAME_COUNT))
+
+    def read(self) -> Optional[np.ndarray]:
+        """Next frame as (H, W, 3) u8 RGB, or None at EOS."""
+        ok, frame = self._cap.read()
+        if not ok:
+            return None
+        return _cv2.cvtColor(frame, _cv2.COLOR_BGR2RGB)
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        while True:
+            f = self.read()
+            if f is None:
+                return
+            yield f
+
+    def seek_frame(self, idx: int) -> None:
+        self._cap.set(_cv2.CAP_PROP_POS_FRAMES, idx)
+
+    def release(self) -> None:
+        self._cap.release()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.release()
+
+
+class VideoWriter:
+    """RGB frame sink (reference VideoWriter, gstreamer/video.rs:25)."""
+
+    def __init__(self, path: str, fps: float, size_hw: Tuple[int, int],
+                 codec: str = "mp4v"):
+        _require_cv2()
+        h, w = size_hw
+        self._writer = _cv2.VideoWriter(
+            path, _cv2.VideoWriter_fourcc(*codec), fps, (w, h))
+        if not self._writer.isOpened():
+            raise VideoError(f"cannot open writer: {path}")
+        self._size = (h, w)
+
+    def write(self, frame_rgb: np.ndarray) -> None:
+        if frame_rgb.shape[:2] != self._size:
+            raise VideoError(
+                f"frame size {frame_rgb.shape[:2]} != {self._size}")
+        self._writer.write(_cv2.cvtColor(frame_rgb, _cv2.COLOR_RGB2BGR))
+
+    def release(self) -> None:
+        self._writer.release()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.release()
+
+
+class CameraCapture:
+    """Live camera (reference V4lVideoCapture, v4l/mod.rs:184 /
+    StreamCapture, gstreamer/capture.rs:137)."""
+
+    def __init__(self, index: int = 0, size_hw: Optional[Tuple[int, int]] = None,
+                 fps: Optional[float] = None):
+        _require_cv2()
+        self._cap = _cv2.VideoCapture(index)
+        if not self._cap.isOpened():
+            raise VideoError(f"cannot open camera {index}")
+        if size_hw is not None:
+            self._cap.set(_cv2.CAP_PROP_FRAME_HEIGHT, size_hw[0])
+            self._cap.set(_cv2.CAP_PROP_FRAME_WIDTH, size_hw[1])
+        if fps is not None:
+            self._cap.set(_cv2.CAP_PROP_FPS, fps)
+
+    def grab_frame(self) -> np.ndarray:
+        """(H, W, 3) u8 RGB (reference grab_frame, v4l/mod.rs:287)."""
+        ok, frame = self._cap.read()
+        if not ok:
+            raise VideoError("camera read failed")
+        return _cv2.cvtColor(frame, _cv2.COLOR_BGR2RGB)
+
+    def release(self) -> None:
+        self._cap.release()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.release()
