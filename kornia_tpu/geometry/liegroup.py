@@ -420,3 +420,48 @@ def _sim3_W(w, sigma):
         full = jnp.concatenate([rho, w, sigma[..., None]], axis=-1)
         cols.append(sim3_exp(full)[..., 4:7])
     return jnp.stack(cols, axis=-1)
+
+
+# ===========================================================================
+# RxSO(3): (..., 5) [qw qx qy qz s]  — rotation × positive scale
+# (reference rxso3.rs; the rotation-scale factor of Sim(3))
+# ===========================================================================
+
+
+def rxso3_identity(shape=()) -> jax.Array:
+    g = jnp.zeros(shape + (5,), jnp.float32)
+    return g.at[..., 0].set(1.0).at[..., 4].set(1.0)
+
+
+def rxso3_compose(a: jax.Array, b: jax.Array) -> jax.Array:
+    q = quat_mul(a[..., :4], b[..., :4])
+    s = a[..., 4] * b[..., 4]
+    return jnp.concatenate([q, s[..., None]], axis=-1)
+
+
+def rxso3_inverse(g: jax.Array) -> jax.Array:
+    q = quat_conj(g[..., :4])
+    s = 1.0 / g[..., 4]
+    return jnp.concatenate([q, s[..., None]], axis=-1)
+
+
+def rxso3_apply(g: jax.Array, pts: jax.Array) -> jax.Array:
+    return g[..., None, 4:5] * quat_rotate(g[..., None, :4], pts)
+
+
+def rxso3_exp(xi: jax.Array) -> jax.Array:
+    """xi = [omega(3), sigma]: exp(omega) rotation × e^sigma scale."""
+    q = so3_exp(xi[..., :3])
+    s = jnp.exp(xi[..., 3])
+    return jnp.concatenate([q, s[..., None]], axis=-1)
+
+
+def rxso3_log(g: jax.Array) -> jax.Array:
+    w = so3_log(g[..., :4])
+    sigma = jnp.log(g[..., 4])
+    return jnp.concatenate([w, sigma[..., None]], axis=-1)
+
+
+def rxso3_matrix(g: jax.Array) -> jax.Array:
+    """(..., 3, 3) = s · R."""
+    return g[..., 4, None, None] * quat_to_matrix(g[..., :4])

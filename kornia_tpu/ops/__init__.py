@@ -32,9 +32,13 @@ from kornia_tpu.ops import contours
 from kornia_tpu.ops import distance_transform
 from kornia_tpu.ops import optical_flow
 from kornia_tpu.ops import depth
+from kornia_tpu.ops import segmentation
+from kornia_tpu.ops import pallas_kernels
 
 __all__ = [
     "depth",
+    "segmentation",
+    "pallas_kernels",
     "bayer",
     "connected_components",
     "contours",

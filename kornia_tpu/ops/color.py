@@ -428,16 +428,74 @@ def _viridis_lut() -> jax.Array:
     return jnp.asarray((lut * 255.0).round().astype(np.uint8))
 
 
+def _jet_lut() -> jax.Array:
+    """OpenCV-style jet colormap from the piecewise-linear formula."""
+    import numpy as np
+
+    x = np.linspace(0.0, 1.0, 256)
+
+    def ramp(v):
+        return np.clip(1.5 - np.abs(v), 0.0, 1.0)
+
+    r = ramp(4.0 * (x - 0.75))
+    g = ramp(4.0 * (x - 0.5))
+    b = ramp(4.0 * (x - 0.25))
+    lut = np.stack([r, g, b], -1)
+    return jnp.asarray((lut * 255.0).round().astype(np.uint8))
+
+
+def _turbo_lut() -> jax.Array:
+    """Google Turbo colormap (published 6th-order polynomial fit)."""
+    import numpy as np
+
+    x = np.linspace(0.0, 1.0, 256)
+    v = np.stack([np.ones_like(x), x, x**2, x**3, x**4, x**5], -1)
+    kr = np.array([0.13572138, 4.61539260, -42.66032258, 132.13108234,
+                   -152.94239396, 59.28637943])
+    kg = np.array([0.09140261, 2.19418839, 4.84296658, -14.18503333,
+                   4.27729857, 2.82956604])
+    kb = np.array([0.10667330, 12.64194608, -60.58204836, 110.36276771,
+                   -89.90310912, 27.34824973])
+    lut = np.stack([v @ kr, v @ kg, v @ kb], -1).clip(0, 1)
+    return jnp.asarray((lut * 255.0).round().astype(np.uint8))
+
+
+def _hot_lut() -> jax.Array:
+    import numpy as np
+
+    x = np.linspace(0.0, 1.0, 256)
+    r = np.clip(x / 0.4, 0, 1)
+    g = np.clip((x - 0.4) / 0.4, 0, 1)
+    b = np.clip((x - 0.8) / 0.2, 0, 1)
+    lut = np.stack([r, g, b], -1)
+    return jnp.asarray((lut * 255.0).round().astype(np.uint8))
+
+
+def _gray_lut() -> jax.Array:
+    import numpy as np
+
+    x = np.arange(256, dtype=np.uint8)
+    return jnp.asarray(np.stack([x, x, x], -1))
+
+
 _COLORMAPS = {}
+_LUT_BUILDERS = {
+    "viridis": _viridis_lut,
+    "jet": _jet_lut,
+    "turbo": _turbo_lut,
+    "hot": _hot_lut,
+    "gray": _gray_lut,
+}
 
 
 def apply_colormap(gray: jax.Array, name: str = "viridis") -> jax.Array:
     """Map (..., H, W) or (..., H, W, 1) u8/f32 gray to RGB u8 via LUT."""
     if name not in _COLORMAPS:
-        if name == "viridis":
-            _COLORMAPS[name] = _viridis_lut()
+        if name in _LUT_BUILDERS:
+            _COLORMAPS[name] = _LUT_BUILDERS[name]()
         else:
-            raise ValueError(f"unknown colormap: {name}")
+            raise ValueError(f"unknown colormap: {name}; "
+                             f"available: {sorted(_LUT_BUILDERS)}")
     lut = _COLORMAPS[name]
     if gray.ndim >= 3 and gray.shape[-1] == 1:
         gray = gray[..., 0]

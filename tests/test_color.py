@@ -149,3 +149,18 @@ class TestMisc:
     def test_colormap(self, gray_small):
         out = _u8(color.apply_colormap(jnp.asarray(gray_small)))
         assert out.shape == gray_small.shape + (3,)
+
+
+class TestColormapsExtra:
+    def test_all_luts(self):
+        import numpy as np
+        from kornia_tpu.ops import color
+        g = jnp.asarray(np.arange(256, dtype=np.uint8).reshape(16, 16))
+        for name in ("viridis", "jet", "turbo", "hot", "gray"):
+            out = color.apply_colormap(g, name)
+            assert out.shape == (16, 16, 3) and out.dtype == jnp.uint8
+        # gray LUT is identity per channel
+        out = np.asarray(color.apply_colormap(g, "gray"))
+        np.testing.assert_array_equal(out[..., 0], np.asarray(g))
+        with pytest.raises(ValueError):
+            color.apply_colormap(g, "nope")

@@ -153,3 +153,46 @@ class TestSim3:
         g = lg.sim3_identity().at[7].set(2.0)
         out = lg.sim3_apply(g, jnp.ones(3))
         np.testing.assert_allclose(np.asarray(out), 2.0, atol=1e-6)
+
+
+class TestRxSO3:
+    def test_exp_log_roundtrip(self):
+        import numpy as np
+        rng = np.random.default_rng(0)
+        xi = jnp.asarray(rng.normal(0, 0.5, (10, 4)), jnp.float32)
+        g = lg.rxso3_exp(xi)
+        back = lg.rxso3_log(g)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(xi),
+                                   atol=1e-5)
+
+    def test_compose_inverse(self):
+        import numpy as np
+        rng = np.random.default_rng(1)
+        a = lg.rxso3_exp(jnp.asarray(rng.normal(0, 0.4, 4), jnp.float32))
+        b = lg.rxso3_exp(jnp.asarray(rng.normal(0, 0.4, 4), jnp.float32))
+        ab = lg.rxso3_compose(a, b)
+        ident = lg.rxso3_compose(ab, lg.rxso3_inverse(ab))
+        np.testing.assert_allclose(
+            np.asarray(ident), np.asarray(lg.rxso3_identity()), atol=1e-6)
+
+    def test_apply_matches_matrix(self):
+        import numpy as np
+        rng = np.random.default_rng(2)
+        g = lg.rxso3_exp(jnp.asarray([0.3, -0.2, 0.1, 0.5], jnp.float32))
+        pts = jnp.asarray(rng.normal(0, 1, (7, 3)), jnp.float32)
+        direct = lg.rxso3_apply(g, pts)
+        via_m = pts @ np.asarray(lg.rxso3_matrix(g)).T
+        np.testing.assert_allclose(np.asarray(direct), via_m, atol=1e-5)
+
+    def test_sim3_consistency(self):
+        """Sim3 with zero translation ≡ RxSO3."""
+        import numpy as np
+        xi = jnp.asarray([0.1, -0.3, 0.2, 0.4], jnp.float32)
+        g = lg.rxso3_exp(xi)
+        full = jnp.concatenate([jnp.zeros(3), xi[:3], xi[3:4]])
+        s3 = lg.sim3_exp(full)
+        pts = jnp.asarray(np.random.default_rng(3).normal(0, 1, (5, 3)),
+                          jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(lg.rxso3_apply(g, pts)),
+            np.asarray(lg.sim3_apply(s3, pts)), atol=1e-5)
