@@ -79,3 +79,66 @@ def homogenize(x: jax.Array) -> jax.Array:
 def transform_points(m: jax.Array, pts: jax.Array) -> jax.Array:
     """Apply (4, 4) (or batched) matrix to (..., 3) points."""
     return jnp.einsum("...ij,...nj->...ni", m[..., :3, :3], pts) + m[..., None, :3, 3]
+
+
+def solve_quartic(coeffs: jax.Array) -> jax.Array:
+    """Closed-form (Ferrari) roots of a₄x⁴+a₃x³+a₂x²+a₁x+a₀.
+
+    coeffs: (..., 5) real, highest degree first. Returns (..., 4)
+    complex64 roots. Fully elementwise → batched/vmapped/TPU-safe (no
+    companion-matrix eig, which XLA only lowers on CPU).
+    """
+    c = coeffs.astype(jnp.complex64)
+    a4 = jnp.where(jnp.abs(c[..., 0]) < 1e-12, 1e-12, c[..., 0])
+    p3 = c[..., 1] / a4
+    q2 = c[..., 2] / a4
+    r1 = c[..., 3] / a4
+    s0 = c[..., 4] / a4
+
+    # depressed quartic y⁴ + αy² + βy + γ, x = y − p3/4
+    alpha = q2 - 3.0 * p3 * p3 / 8.0
+    beta = r1 - p3 * q2 / 2.0 + p3 ** 3 / 8.0
+    gamma = (s0 - 3.0 * p3 ** 4 / 256.0 + p3 * p3 * q2 / 16.0
+             - p3 * r1 / 4.0)
+
+    # resolvent cubic z³ + 2αz² + (α²−4γ)z − β² = 0; take one root
+    b2 = 2.0 * alpha
+    b1 = alpha * alpha - 4.0 * gamma
+    b0 = -beta * beta
+    pp = b1 - b2 * b2 / 3.0
+    qq = 2.0 * b2 ** 3 / 27.0 - b2 * b1 / 3.0 + b0
+    disc = (qq / 2.0) ** 2 + (pp / 3.0) ** 3
+    sq = jnp.sqrt(disc)
+    u3 = -qq / 2.0 + sq
+    # principal cube root; avoid 0^(1/3) NaN
+    u = jnp.where(jnp.abs(u3) < 1e-30, 0.0, u3 ** (1.0 / 3.0))
+    v = jnp.where(jnp.abs(u) < 1e-30, 0.0, -pp / (3.0 * u))
+    z = u + v - b2 / 3.0
+
+    # split into two quadratics: y² ∓ y√z + (α+z)/2 ± β/(2√z)
+    w = jnp.sqrt(z)
+    w_safe = jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)
+    t1 = (alpha + z) / 2.0
+    t2 = beta / (2.0 * w_safe)
+
+    def quad_roots(b, cc):
+        d = jnp.sqrt(b * b - 4.0 * cc)
+        return (-b + d) / 2.0, (-b - d) / 2.0
+
+    # (y² + wy + (t1−t2)) (y² − wy + (t1+t2))
+    y1, y2 = quad_roots(w, t1 - t2)
+    y3, y4 = quad_roots(-w, t1 + t2)
+    roots = jnp.stack([y1, y2, y3, y4], axis=-1) - (p3 / 4.0)[..., None]
+
+    # two Newton polish steps recover the precision complex64 loses near
+    # resolvent branch cuts (worst fuzz error 0.12 → <1e-3)
+    cc = c[..., None, :]
+    for _ in range(2):
+        x = roots
+        p = (((cc[..., 0] * x + cc[..., 1]) * x + cc[..., 2]) * x
+             + cc[..., 3]) * x + cc[..., 4]
+        dp = ((4.0 * cc[..., 0] * x + 3.0 * cc[..., 1]) * x
+              + 2.0 * cc[..., 2]) * x + cc[..., 3]
+        dp = jnp.where(jnp.abs(dp) < 1e-12, 1e-12, dp)
+        roots = x - p / dp
+    return roots

@@ -191,26 +191,148 @@ def solve_pnp_ransac(
     n_hypotheses: int = 256,
     sample_size: int = 6,
     lo_iters: int = 2,
+    method: str = "epnp",
+    scoring: str = "msac",
 ) -> Tuple[PnPResult, jax.Array, jax.Array]:
-    """RANSAC PnP (reference solve_pnp_ransac, pnp/ransac.rs:84).
+    """RANSAC PnP (reference solve_pnp_ransac, pnp/ransac.rs:84;
+    method dispatch = reference PnPMethod, pnp/mod.rs:121).
 
-    Returns (pose, inlier_mask, n_inliers).
+    method "epnp" (default) or "p3p" (Grunert minimal solver, 4-point
+    samples, EPnP-weighted local optimization). Returns
+    (pose, inlier_mask, n_inliers).
     """
     n = world.shape[0]
     if mask is None:
         mask = jnp.ones(n, bool)
 
+    if method == "p3p":
+        sample_size = 4
+
+        def solver(a, b, weights=None):
+            if weights is not None:  # LO refit path → weighted EPnP
+                return pnp_epnp(a, b, k, weights)
+            return pnp_p3p(a, b, k)
+    elif method == "epnp":
+        def solver(a, b, weights=None):
+            return pnp_epnp(a, b, k, weights)
+    else:
+        raise ValueError(f"unknown PnP method {method!r}")
+
     res = ransac(
         key,
         world,  # x1 slot carries 3-D points; sampled as (B, S, 3)
         pixels,
-        solver_fn=lambda a, b, weights=None: pnp_epnp(a, b, k, weights),
+        solver_fn=solver,
         residual_fn=lambda m, _a, _b: reprojection_residuals(m, world, pixels, k),
         sample_size=sample_size,
         threshold=threshold_px,
         mask=mask,
         n_hypotheses=n_hypotheses,
         lo_iters=lo_iters,
+        scoring=scoring,
     )
     pose = res.model
     return pose, res.inliers, res.n_inliers
+
+
+# ---------------------------------------------------------------------------
+# P3P (Grunert) — minimal 3-point solver + 4th-point disambiguation
+# (reference capability: ap3p.rs / PnPMethod dispatch, pnp/mod.rs:121)
+# ---------------------------------------------------------------------------
+
+
+def pnp_p3p(
+    world: jax.Array, pixels: jax.Array, k: jax.Array,
+    weights: Optional[jax.Array] = None,
+) -> PnPResult:
+    """Minimal perspective-3-point pose (Grunert's quartic, Haralick's
+    formulation), disambiguated by the 4th correspondence.
+
+    world: (..., 4, 3); pixels: (..., 4, 2). The first 3 rows form the
+    minimal set; the 4th picks among the ≤4 physical solutions. Fully
+    batched — pairs with geometry.ransac at sample_size=4.
+    """
+    from kornia_tpu.geometry.linalg import solve_quartic
+
+    del weights  # minimal solver; LO refits route through EPnP
+    kinv_f = 1.0 / jnp.stack([k[..., 0, 0], k[..., 1, 1]], -1)
+    pp = jnp.stack([k[..., 0, 2], k[..., 1, 2]], -1)
+    bearings = jnp.concatenate(
+        [(pixels - pp[..., None, :]) * kinv_f[..., None, :],
+         jnp.ones_like(pixels[..., :1])], axis=-1)
+    f = bearings / jnp.linalg.norm(bearings, axis=-1, keepdims=True)
+    f1, f2, f3 = f[..., 0, :], f[..., 1, :], f[..., 2, :]
+    p1, p2, p3 = world[..., 0, :], world[..., 1, :], world[..., 2, :]
+
+    a2 = jnp.sum((p2 - p3) ** 2, -1)
+    b2 = jnp.sum((p1 - p3) ** 2, -1)
+    c2 = jnp.sum((p1 - p2) ** 2, -1)
+    b2s = jnp.where(b2 < 1e-12, 1e-12, b2)
+    ca = jnp.sum(f2 * f3, -1)   # cos α (opposite side a)
+    cb = jnp.sum(f1 * f3, -1)
+    cg = jnp.sum(f1 * f2, -1)
+
+    ac = (a2 - c2) / b2s
+    ac1 = (a2 + c2) / b2s
+    # Grunert/Haralick quartic in v = s3/s1
+    a4 = (ac - 1.0) ** 2 - 4.0 * c2 / b2s * ca ** 2
+    a3 = 4.0 * (ac * (1.0 - ac) * cb
+                - (1.0 - ac1) * ca * cg + 2.0 * c2 / b2s * ca ** 2 * cb)
+    a2_ = 2.0 * (ac ** 2 - 1.0 + 2.0 * ac ** 2 * cb ** 2
+                 + 2.0 * (b2 - c2) / b2s * ca ** 2
+                 - 4.0 * ac1 * ca * cb * cg
+                 + 2.0 * (b2 - a2) / b2s * cg ** 2)
+    a1 = 4.0 * (-ac * (1.0 + ac) * cb + 2.0 * a2 / b2s * cg ** 2 * cb
+                - (1.0 - ac1) * ca * cg)
+    a0 = (1.0 + ac) ** 2 - 4.0 * a2 / b2s * cg ** 2
+
+    coeffs = jnp.stack([a4, a3, a2_, a1, a0], axis=-1)
+    roots = solve_quartic(coeffs)                       # (..., 4) complex
+    is_real = jnp.abs(roots.imag) < 1e-4
+    v = roots.real
+    v_ok = is_real & (v > 1e-6)
+
+    # u = s2/s1 from the linear relation, then absolute depths
+    denom = 2.0 * (cg[..., None] - v * ca[..., None])
+    denom = jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom)
+    u = ((-1.0 + ac[..., None]) * v ** 2
+         - 2.0 * ac[..., None] * cb[..., None] * v
+         + 1.0 + ac[..., None]) / denom
+    s1_sq = b2s[..., None] / jnp.maximum(
+        1.0 + v ** 2 - 2.0 * v * cb[..., None], 1e-12)
+    s1 = jnp.sqrt(jnp.maximum(s1_sq, 0.0))
+    s2 = u * s1
+    s3 = v * s1
+    valid = v_ok & (s1 > 0) & (s2 > 0) & (s3 > 0)
+
+    # camera-frame points per root → rigid alignment world → camera
+    # stack over points: (..., 4 roots, 3 points, 3)
+    cam_pts = jnp.stack([
+        s1[..., :, None] * f1[..., None, :],
+        s2[..., :, None] * f2[..., None, :],
+        s3[..., :, None] * f3[..., None, :]], axis=-2)
+    w3 = jnp.broadcast_to(world[..., None, :3, :], cam_pts.shape)
+    # rigid_transform_3d is (N, 3)-shaped: vmap over flattened batch+roots
+    lead = cam_pts.shape[:-2]
+    flat_w = w3.reshape((-1, 3, 3))
+    flat_c = cam_pts.reshape((-1, 3, 3))
+    r_f, t_f, _ = jax.vmap(
+        lambda a, b: rigid_transform_3d(a, b))(flat_w, flat_c)
+    r_all = r_f.reshape(lead + (3, 3))
+    t_all = t_f.reshape(lead + (3,))
+
+    # disambiguate with the 4th point's reprojection error
+    p4 = world[..., 3, :]
+    px4 = pixels[..., 3, :]
+    cam4 = jnp.einsum("...rij,...j->...ri", r_all, p4) + t_all
+    z4 = jnp.where(jnp.abs(cam4[..., 2]) < 1e-9, 1e-9, cam4[..., 2])
+    uv4 = cam4[..., :2] / z4[..., None]
+    uv4 = uv4 / kinv_f[..., None, :] + pp[..., None, :]
+    err4 = jnp.sum((uv4 - px4[..., None, :]) ** 2, -1)
+    err4 = jnp.where(valid & (z4 > 0), err4, jnp.inf)
+    best = jnp.argmin(err4, axis=-1)
+    r_best = jnp.take_along_axis(
+        r_all, best[..., None, None, None], axis=-3)[..., 0, :, :]
+    t_best = jnp.take_along_axis(
+        t_all, best[..., None, None], axis=-2)[..., 0, :]
+    return PnPResult(rotation=r_best, translation=t_best)

@@ -63,6 +63,7 @@ def ransac(
     n_hypotheses: int = 512,
     lo_iters: int = 2,
     refit_fn: Optional[Callable] = None,
+    scoring: str = "msac",
 ) -> RansacResult:
     """Generic batched RANSAC.
 
@@ -72,6 +73,11 @@ def ransac(
       residuals (same units as threshold²).
     refit_fn: weighted full-set solver for local optimization (defaults to
       solver_fn on the inlier set with weights).
+    scoring: "msac" (truncated residual sum) or "magsac" — σ-marginalized
+      Gaussian quality over a fixed σ grid in (t/8, t], the batch-friendly
+      form of MAGSAC's noise-scale marginalization (reference capability:
+      kornia-3d ransac/magsac.rs). Affects hypothesis *selection* only;
+      the returned inlier set still uses the hard threshold.
     """
     n = x1.shape[0]
     if mask is None:
@@ -86,7 +92,17 @@ def ransac(
 
     res = residual_fn(models, x1, x2)  # (B, N)
     res = jnp.where(mask[None, :], res, t2)  # invalid rows contribute cap
-    msac = jnp.sum(jnp.minimum(res, t2), axis=-1)  # (B,)
+    if scoring == "magsac":
+        sigmas = jnp.linspace(threshold / 8.0, threshold, 8)
+        # marginal inlier likelihood; negated so argmin still selects best
+        lik = jnp.mean(
+            jnp.exp(-res[..., None] / (2.0 * sigmas ** 2)), axis=-1)
+        score_all = -jnp.sum(jnp.where(mask[None, :], lik, 0.0), axis=-1)
+    elif scoring == "msac":
+        score_all = jnp.sum(jnp.minimum(res, t2), axis=-1)  # (B,)
+    else:
+        raise ValueError(f"unknown scoring {scoring!r}")
+    msac = score_all
     best = jnp.argmin(msac)
     best_model = jax.tree_util.tree_map(lambda m: m[best], models)
 

@@ -255,3 +255,72 @@ class TestICP:
         assert rot_err_deg(np.asarray(res.rotation), r_gt) < 0.5
         np.testing.assert_allclose(np.asarray(res.translation), t_gt, atol=1e-2)
         assert float(res.rmse) < 1e-3
+
+
+class TestP3PAndMagsac:
+    def _scene(self, rng, n=60, outlier_frac=0.25):
+        from kornia_tpu.geometry import liegroup as lg
+        k = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]],
+                     np.float32)
+        world = rng.uniform([-1, -1, 3], [1, 1, 7], (n, 3)).astype(
+            np.float32)
+        xi = np.array([0.05, -0.1, 0.3, 0.1, -0.2, 0.05], np.float32)
+        t = np.asarray(lg.se3_exp(jnp.asarray(xi)))
+        cam = np.asarray(lg.se3_apply(jnp.asarray(t)[None],
+                                      jnp.asarray(world)))
+        px = cam[:, :2] / cam[:, 2:] * 500 + [320, 240]
+        px += rng.normal(0, 0.5, px.shape)
+        n_out = int(n * outlier_frac)
+        px[rng.choice(n, n_out, replace=False)] = rng.uniform(
+            [0, 0], [640, 480], (n_out, 2))
+        r_true = np.asarray(lg.quat_to_matrix(lg.se3_quat(jnp.asarray(t))))
+        return k, world, px.astype(np.float32), r_true, t[4:]
+
+    def test_p3p_quartic_fuzz(self):
+        from kornia_tpu.geometry.linalg import solve_quartic
+        rng = np.random.default_rng(0)
+        for _ in range(50):
+            c = rng.standard_normal(5)
+            c[0] = np.sign(c[0]) * (abs(c[0]) + 0.2)
+            r_np = np.roots(c)
+            r_ours = np.asarray(solve_quartic(jnp.asarray(c)))
+            pool = list(r_ours)
+            for r in r_np:
+                d = [abs(r - q) for q in pool]
+                i = int(np.argmin(d))
+                assert d[i] < 5e-3
+                pool.pop(i)
+
+    def test_p3p_exact(self):
+        from kornia_tpu.geometry import liegroup as lg, pnp
+        rng = np.random.default_rng(1)
+        k = jnp.asarray([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]],
+                        jnp.float32)
+        okc = 0
+        for _ in range(10):
+            world = rng.uniform([-1, -1, 3], [1, 1, 6], (4, 3)).astype(
+                np.float32)
+            px = (world[:, :2] / world[:, 2:]) * 500 + [320, 240]
+            res = pnp.pnp_p3p(jnp.asarray(world),
+                              jnp.asarray(px, jnp.float32), k)
+            r = np.asarray(res.rotation)
+            okc += (np.abs(r - np.eye(3)).max() < 1e-2
+                    and np.linalg.norm(np.asarray(res.translation)) < 1e-2)
+        assert okc >= 9
+
+    @pytest.mark.parametrize("method,scoring", [
+        ("p3p", "msac"), ("epnp", "magsac"), ("p3p", "magsac")])
+    def test_ransac_variants(self, method, scoring):
+        from kornia_tpu.geometry import pnp
+        rng = np.random.default_rng(2)
+        k, world, px, r_true, t_true = self._scene(rng)
+        pose, inl, n_inl = pnp.solve_pnp_ransac(
+            jax.random.PRNGKey(0), jnp.asarray(world), jnp.asarray(px),
+            jnp.asarray(k), threshold_px=3.0, method=method,
+            scoring=scoring)
+        assert int(n_inl) >= 35
+        r = np.asarray(pose.rotation)
+        rot_err = np.rad2deg(np.arccos(np.clip(
+            (np.trace(r @ r_true.T) - 1) / 2, -1, 1)))
+        assert rot_err < 1.0
+        assert np.linalg.norm(np.asarray(pose.translation) - t_true) < 0.05
