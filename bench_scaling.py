@@ -27,13 +27,8 @@ if "xla_force_host_platform_device_count" not in os.environ.get(
 
 import numpy as np  # noqa: E402
 import jax  # noqa: E402
-
-# the axon sitecustomize imports jax at interpreter start, so env vars
-# are too late — force the CPU backend via config (see .claude verify
-# notes): the scaling run validates program structure on a virtual mesh
-jax.config.update("jax_platforms", "cpu")
-import jax.numpy as jnp  # noqa: E402
 from jax.sharding import Mesh  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
 
 
 def synth_problem(n_poses=24, n_points=3000, seed=0):
@@ -68,6 +63,11 @@ def synth_problem(n_poses=24, n_points=3000, seed=0):
 
 
 def main():
+    # the axon sitecustomize imports jax at interpreter start, so env
+    # vars are too late — force the CPU backend via config: the scaling
+    # run validates program structure on a virtual mesh
+    jax.config.update("jax_platforms", "cpu")
+
     from kornia_tpu.optim import ba as ba_mod
     from kornia_tpu.parallel import ba_dist
     from kornia_tpu.parallel.mesh import OBS_AXIS

@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -135,7 +137,11 @@ def epipolar_distance(f: jax.Array, x1: jax.Array, x2: jax.Array) -> jax.Array:
 # essential decomposition (reference essential.rs)
 # ---------------------------------------------------------------------------
 
-_W = jnp.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], jnp.float32)
+# numpy, not jnp: a module-level DEVICE constant captured into a jitted
+# program costs ~34 ms/dispatch through the axon tunnel AND poisons all
+# later dispatches in the process (PERF_NOTES.md); np constants fold
+# in-trace for free.
+_W = np.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], np.float32)
 
 
 def decompose_essential(e: jax.Array) -> Tuple[jax.Array, jax.Array]:

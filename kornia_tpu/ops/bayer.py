@@ -12,6 +12,8 @@ from __future__ import annotations
 
 from functools import partial
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -24,15 +26,16 @@ _PATTERNS = {
     "gbrg": ((1, 0), (0, 1)),
 }
 
-_K = jnp.asarray([[1.0, 2.0, 1.0],
-                  [2.0, 4.0, 2.0],
-                  [1.0, 2.0, 1.0]])
+# numpy (device-constant capture is pathological on axon — PERF_NOTES.md)
+_K = np.asarray([[1.0, 2.0, 1.0],
+                 [2.0, 4.0, 2.0],
+                 [1.0, 2.0, 1.0]], np.float32)
 
 
 def _interp(masked: jax.Array, mask: jax.Array) -> jax.Array:
     def conv(x):
         return jax.lax.conv_general_dilated(
-            x[None, None], _K[None, None], (1, 1), "SAME")[0, 0]
+            x[None, None], jnp.asarray(_K)[None, None], (1, 1), "SAME")[0, 0]
 
     num = conv(masked)
     den = conv(mask)

@@ -42,7 +42,7 @@ def _segmented_min_scan(values: jax.Array, starts: jax.Array,
     return out
 
 
-_BIG = jnp.int32(2 ** 30)
+_BIG = 2 ** 30  # python int: folds in-trace (device consts are pathological on axon)
 
 
 @partial(jax.jit, static_argnames=("connectivity", "max_sweeps"))

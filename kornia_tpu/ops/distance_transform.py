@@ -24,7 +24,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-_INF = jnp.float32(1e12)
+_INF = 1e12  # python float: folds in-trace (device consts are pathological on axon)
 
 
 def _vertical_nearest_zero_sq(zero_mask: jax.Array) -> jax.Array:
