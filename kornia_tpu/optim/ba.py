@@ -235,17 +235,18 @@ def reduce_camera_system(
     rhs_terms = jnp.einsum("mij,mj->mi", y_blocks, g_x[problem.obs_pt], precision=_HI)
     rhs_p = g_p - jax.ops.segment_sum(rhs_terms, problem.obs_cam, num_segments=p)
 
-    # S = blockdiag(U damped) − Σ_point Σ_{a,b ∈ obs(pt)} Yₐ Bᵦᵀ at (camₐ, camᵦ)
-    by = problem.obs_by_point        # (N, K)
-    bym = problem.obs_by_point_mask  # (N, K)
-    yp = y_blocks[by] * bym[..., None, None]   # (N, K, 6, 3)
-    bp = b_blocks[by] * bym[..., None, None]   # (N, K, 6, 3)
-    camp = problem.obs_cam[by]                 # (N, K)
-    contrib = jnp.einsum("naij,nbkj->nabik", yp, bp, precision=_HI)  # (N,K,K,6,6)
-    pair_idx = (camp[:, :, None] * p + camp[:, None, :]).reshape(-1)  # (N*K*K,)
-    contrib_flat = contrib.reshape(-1, 36)
-    s_pairs = jax.ops.segment_sum(contrib_flat, pair_idx, num_segments=p * p)
-    s = -s_pairs.reshape(p, p, 6, 6)
+    # S = blockdiag(U damped) − Σ_pt Yc[pt,a] Bc[pt,b]ᵀ where
+    # Bc[pt,cam] = Σ_{i: pt_i=pt, cam_i=cam} B_i and Yc = Bc·V⁻¹[pt].
+    # This replaces the naive (N, K, K, 6, 6) pairwise tensor (≈1 GB at
+    # the 170×3k×100k-obs regime) + 6.9M-row scatter with ONE
+    # (6P, 3N)·(3N, 6P) MXU matmul — the TPU-shaped Schur reduction.
+    m = b_blocks.shape[0]
+    pair_key = problem.obs_pt.astype(jnp.int32) * p + problem.obs_cam
+    bc = jax.ops.segment_sum(
+        b_blocks.reshape(m, 18), pair_key, num_segments=n * p
+    ).reshape(n, p, 6, 3)
+    yc = jnp.einsum("npis,nst->npit", bc, v_inv, precision=_HI)
+    s = -jnp.einsum("npis,nqjs->pqij", yc, bc, precision=_HI)
     # add damped U on the diagonal
     u_damped = U + (lam * jnp.maximum(jnp.diagonal(U, axis1=-2, axis2=-1), 1e-9))[..., None, :] * jnp.eye(6, dtype=U.dtype)
     s = s.at[jnp.arange(p), jnp.arange(p)].add(u_damped)

@@ -197,17 +197,19 @@ def bundle_adjust_schur_dist(
             rhs_partial = jax.ops.segment_sum(rhs_terms, obs_cam, num_segments=p)
             rhs_p = g_p - jax.lax.psum(rhs_partial, axis)
 
-            yp = y_b[by] * bym[..., None, None]
-            bp = b_b[by] * bym[..., None, None]
-            camp = obs_cam[by]
-            contrib = jnp.einsum("naij,nbkj->nabik", yp, bp, precision=_HI)
-            pair_idx = (camp[:, :, None] * p + camp[:, None, :]).reshape(-1)
-            s_pairs = jax.ops.segment_sum(
-                contrib.reshape(-1, 36), pair_idx, num_segments=p * p
-            )
+            # MXU-shaped Schur reduction (same reformulation as
+            # optim/ba.py): per-(point, camera) aggregates Bc/Yc, then
+            # one (6P, 3Nl)·(3Nl, 6P) matmul — no (Nl, K, K, 6, 6)
+            # pairwise tensor, no giant scatter
+            ml = b_b.shape[0]
+            pair_key = obs_pt.astype(jnp.int32) * p + obs_cam
+            bc = jax.ops.segment_sum(
+                b_b.reshape(ml, 18), pair_key, num_segments=nl * p
+            ).reshape(nl, p, 6, 3)
+            yc = jnp.einsum("npis,nst->npit", bc, v_inv, precision=_HI)
+            s_local = jnp.einsum("npis,nqjs->pqij", yc, bc, precision=_HI)
             # ONE collective for the reduced camera system
-            s_pairs = jax.lax.psum(s_pairs, axis)
-            s = -s_pairs.reshape(p, p, 6, 6)
+            s = -jax.lax.psum(s_local, axis)
             u_damped = U + (lam * jnp.maximum(
                 jnp.diagonal(U, axis1=-2, axis2=-1), 1e-9))[..., None, :] * jnp.eye(6, dtype=U.dtype)
             s = s.at[jnp.arange(p), jnp.arange(p)].add(u_damped)
