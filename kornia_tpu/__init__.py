@@ -41,6 +41,11 @@ from kornia_tpu import optim
 from kornia_tpu import io
 from kornia_tpu import utils
 from kornia_tpu import augmentations
+from kornia_tpu import apriltag
+from kornia_tpu import bow
+from kornia_tpu import parallel
+from kornia_tpu import slam
+from kornia_tpu import models
 
 __all__ = [
     "image",
@@ -51,5 +56,10 @@ __all__ = [
     "io",
     "utils",
     "augmentations",
+    "apriltag",
+    "bow",
+    "parallel",
+    "slam",
+    "models",
     "__version__",
 ]

@@ -118,7 +118,9 @@ def sampson_distance(f: jax.Array, x1: jax.Array, x2: jax.Array) -> jax.Array:
     ftx2 = jnp.einsum("...ji,...nj->...ni", f, p2)
     num = jnp.sum(p2 * fx1, axis=-1) ** 2
     den = fx1[..., 0] ** 2 + fx1[..., 1] ** 2 + ftx2[..., 0] ** 2 + ftx2[..., 1] ** 2
-    return num / jnp.maximum(den, 1e-12)
+    # a (near-)zero F gives 0/0 — that must be a REJECTION, not a perfect
+    # fit, or degenerate RANSAC hypotheses win with zero residual
+    return jnp.where(den > 1e-12, num / jnp.maximum(den, 1e-12), 1e12)
 
 
 def epipolar_distance(f: jax.Array, x1: jax.Array, x2: jax.Array) -> jax.Array:

@@ -91,6 +91,7 @@ def ransac(
     models = solver_fn(s1, s2)  # (B, ...)
 
     res = residual_fn(models, x1, x2)  # (B, N)
+    res = jnp.where(jnp.isfinite(res), res, t2)  # NaN/inf models → capped
     res = jnp.where(mask[None, :], res, t2)  # invalid rows contribute cap
     if scoring == "magsac":
         sigmas = jnp.linspace(threshold / 8.0, threshold, 8)

@@ -36,6 +36,11 @@ class TwoViewParams:
     # (ORB-SLAM's RH heuristic; reference twoview.rs:1456 model pick)
     h_over_e_ratio: float = 0.9
     min_parallax_cos: float = 0.99998
+    # epipolar solver: "8pt" (fundamental DLT, default — the reference's
+    # Fundamental8ptSolver) or "5pt" (Nistér essential,
+    # EssentialNister5ptSolver — calibrated, 6-point samples with
+    # 6th-point disambiguation)
+    solver: str = "8pt"
 
 
 class TwoViewResult(NamedTuple):
@@ -66,17 +71,50 @@ def estimate_relative_pose(
         mask = jnp.ones(n, bool)
     kf, kh = jax.random.split(key)
 
-    # --- F-RANSAC (8-point, Sampson scoring) ---
-    f_res = ransac(
-        kf, x1, x2,
-        solver_fn=lambda a, b, weights=None: epi.fundamental_8pt(a, b, weights),
-        residual_fn=epi.sampson_distance,
-        sample_size=8,
-        threshold=params.threshold_px,
-        mask=mask,
-        n_hypotheses=params.n_hypotheses,
-        lo_iters=params.lo_iters,
-    )
+    # --- epipolar RANSAC: 8pt F (Sampson scoring) or Nistér 5pt E ---
+    if params.solver == "5pt":
+        from kornia_tpu.geometry.essential5pt import essential_5pt
+
+        kinv1 = jnp.linalg.inv(k1)
+        kinv2 = jnp.linalg.inv(k2)
+        xn1_all = normalize_points(x1, k1)
+        xn2_all = normalize_points(x2, k2)
+
+        def solve_e(a, b, weights=None):
+            if weights is not None:  # LO refit → weighted 8-pt on E
+                return epi.fundamental_8pt(a, b, weights)
+            return essential_5pt(a, b)
+
+        # residuals in pixel units: F = K2⁻ᵀ E K1⁻¹
+        def resid_e(models, _a, _b):
+            f_px = jnp.swapaxes(kinv2, -1, -2) @ models @ kinv1
+            return epi.sampson_distance(f_px, x1, x2)
+
+        e_res = ransac(
+            kf, xn1_all, xn2_all,
+            solver_fn=solve_e,
+            residual_fn=resid_e,
+            sample_size=6,
+            threshold=params.threshold_px,
+            mask=mask,
+            n_hypotheses=params.n_hypotheses,
+            lo_iters=params.lo_iters,
+        )
+        f_model = jnp.swapaxes(kinv2, -1, -2) @ e_res.model @ kinv1
+        f_model = f_model / jnp.maximum(
+            jnp.linalg.norm(f_model.reshape(9)), 1e-12)
+        f_res = e_res._replace(model=f_model)
+    else:
+        f_res = ransac(
+            kf, x1, x2,
+            solver_fn=lambda a, b, weights=None: epi.fundamental_8pt(a, b, weights),
+            residual_fn=epi.sampson_distance,
+            sample_size=8,
+            threshold=params.threshold_px,
+            mask=mask,
+            n_hypotheses=params.n_hypotheses,
+            lo_iters=params.lo_iters,
+        )
 
     # --- H-RANSAC (4-point DLT, symmetric transfer scoring) ---
     h_res = ransac(

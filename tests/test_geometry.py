@@ -324,3 +324,64 @@ class TestP3PAndMagsac:
             (np.trace(r @ r_true.T) - 1) / 2, -1, 1)))
         assert rot_err < 1.0
         assert np.linalg.norm(np.asarray(pose.translation) - t_true) < 0.05
+
+
+class TestEssential5pt:
+    def _two_view_scene(self, rng, n=100, noise=0.3):
+        from kornia_tpu.geometry import liegroup as lg
+        pts = rng.uniform([-1, -1, 3], [1, 1, 7], (n, 3)).astype(np.float32)
+        w = np.array([0.05, -0.1, 0.08], np.float32)
+        r = np.asarray(lg.so3_exp_matrix(jnp.asarray(w)))
+        t = np.array([0.4, 0.1, -0.05], np.float32)
+        t /= np.linalg.norm(t)
+        p2 = pts @ r.T + t
+        k = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]],
+                     np.float32)
+        x1 = pts[:, :2] / pts[:, 2:] * 500 + [320, 240]
+        x2 = p2[:, :2] / p2[:, 2:] * 500 + [320, 240]
+        x1 += rng.normal(0, noise, x1.shape)
+        x2 += rng.normal(0, noise, x2.shape)
+        return (k, x1.astype(np.float32), x2.astype(np.float32), r, t)
+
+    def test_minimal_exact(self):
+        from kornia_tpu.geometry.essential5pt import essential_5pt
+        rng = np.random.default_rng(3)
+        hits = 0
+        for _ in range(8):
+            k, x1, x2, r, t = self._two_view_scene(rng, n=8, noise=0.0)
+            xn1 = (x1 - [320, 240]) / 500
+            xn2 = (x2 - [320, 240]) / 500
+            e = np.asarray(essential_5pt(jnp.asarray(xn1),
+                                         jnp.asarray(xn2)))
+            p1h = np.concatenate([xn1, np.ones((8, 1))], 1)
+            p2h = np.concatenate([xn2, np.ones((8, 1))], 1)
+            res = np.abs(np.einsum("ni,ij,nj->n", p2h, e, p1h)).max()
+            hits += res < 1e-3
+        assert hits >= 7  # f32 degree-10 fit: rare conditioning misses ok
+
+    def test_batched_shapes(self):
+        from kornia_tpu.geometry.essential5pt import essential_5pt
+        rng = np.random.default_rng(4)
+        xn1 = jnp.asarray(rng.normal(0, 0.3, (16, 6, 2)), jnp.float32)
+        xn2 = jnp.asarray(rng.normal(0, 0.3, (16, 6, 2)), jnp.float32)
+        e = essential_5pt(xn1, xn2)
+        assert e.shape == (16, 3, 3)
+        assert np.all(np.isfinite(np.asarray(e)))
+
+    def test_twoview_with_5pt_solver(self):
+        from kornia_tpu.geometry import twoview as tv
+        rng = np.random.default_rng(5)
+        k, x1, x2, r_true, t_true = self._two_view_scene(rng)
+        res = tv.estimate_relative_pose(
+            jax.random.PRNGKey(0), jnp.asarray(x1), jnp.asarray(x2),
+            jnp.asarray(k), jnp.asarray(k),
+            params=tv.TwoViewParams(solver="5pt"))
+        assert int(res.n_inliers) > 80
+        r = np.asarray(res.rotation)
+        rot_err = np.rad2deg(np.arccos(np.clip(
+            (np.trace(r @ r_true.T) - 1) / 2, -1, 1)))
+        t_est = np.asarray(res.translation)
+        t_err = np.rad2deg(np.arccos(np.clip(
+            abs(float(t_est @ t_true)), -1, 1)))
+        assert rot_err < 0.5
+        assert t_err < 3.0
