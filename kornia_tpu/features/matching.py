@@ -123,3 +123,53 @@ def matched_points(
     """Gather matched coordinate pairs, fixed shape (N, 2) + validity mask."""
     idx = jnp.maximum(matches.idx, 0)
     return xy_a, xy_b[idx], matches.mask
+
+
+def match_by_projection(
+    points3d: jax.Array,
+    point_desc_bits: jax.Array,
+    pose7: jax.Array,
+    k: jax.Array,
+    frame_xy: jax.Array,
+    frame_desc_bits: jax.Array,
+    radius_px: float = 15.0,
+    max_distance: float = 64.0,
+    point_mask: Optional[jax.Array] = None,
+    frame_mask: Optional[jax.Array] = None,
+) -> Matches:
+    """SLAM-style projection-guided matching (reference
+    match_orb_by_projection, match.rs:413): each map point is projected
+    into the frame with the predicted pose and matched only against
+    keypoints inside a ``radius_px`` window — the Hamming matmul with a
+    spatial gate folded into the distance matrix.
+
+    points3d: (P, 3) world; point_desc_bits: (P, 256) {0,1};
+    pose7: (7,) world→camera; frame_xy: (N, 2); frame_desc_bits (N, 256).
+    Returns Matches over map points (idx into the frame keypoints).
+    """
+    from kornia_tpu.geometry import liegroup as lg
+
+    cam = lg.se3_apply(pose7[None], points3d)
+    z = cam[..., 2]
+    uv = cam[..., :2] / jnp.where(jnp.abs(z[..., None]) < 1e-9, 1e-9,
+                                  z[..., None])
+    uv = uv * jnp.stack([k[0, 0], k[1, 1]]) + jnp.stack([k[0, 2], k[1, 2]])
+
+    d = hamming_distance_matrix(point_desc_bits, frame_desc_bits,
+                                a_mask=point_mask, b_mask=frame_mask)
+    sq = jnp.sum((uv[:, None, :] - frame_xy[None, :, :]) ** 2, axis=-1)
+    gate = (sq <= radius_px * radius_px) & (z[:, None] > 1e-6)
+    d = jnp.where(gate, d, _BIG)
+
+    best = jnp.argmin(d, axis=1).astype(jnp.int32)
+    dmin = jnp.take_along_axis(d, best[:, None], axis=1)[:, 0]
+    ok = dmin <= max_distance
+    # one keypoint serves at most one map point: keep the closest claimant
+    owner_dist = jnp.full(frame_xy.shape[0], jnp.inf).at[
+        jnp.where(ok, best, 0)].min(jnp.where(ok, dmin, jnp.inf))
+    ok = ok & (dmin <= owner_dist[best])
+    return Matches(
+        idx=jnp.where(ok, best, -1),
+        dist=dmin.astype(jnp.float32),
+        mask=ok,
+    )

@@ -125,3 +125,54 @@ class TestOrbE2E:
         assert f.xy.shape == (512, 2)
         assert f.descriptors.shape == (512, 256)
         assert f.octave.shape == (512,)
+
+
+class TestMatchByProjection:
+    def test_projection_guided(self):
+        import numpy as np
+        from kornia_tpu.features import matching
+        from kornia_tpu.geometry import liegroup as lg
+
+        rng = np.random.default_rng(0)
+        p = 40
+        pts = rng.uniform([-2, -2, 4], [2, 2, 8], (p, 3)).astype(np.float32)
+        desc = rng.integers(0, 2, (p, 256)).astype(np.uint8)
+        k = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]],
+                     np.float32)
+        pose = np.array([1, 0, 0, 0, 0, 0, 0], np.float32)
+
+        # frame observes the points at their projections (+ noise) in a
+        # random order, plus clutter keypoints
+        uv = pts[:, :2] / pts[:, 2:] * 500 + [320, 240]
+        perm = rng.permutation(p)
+        clutter = rng.uniform([0, 0], [640, 480], (30, 2)).astype(np.float32)
+        frame_xy = np.concatenate([uv[perm] + rng.normal(0, 1.0, (p, 2)),
+                                   clutter]).astype(np.float32)
+        cl_desc = rng.integers(0, 2, (30, 256)).astype(np.uint8)
+        frame_desc = np.concatenate([desc[perm], cl_desc])
+
+        m = matching.match_by_projection(
+            jnp.asarray(pts), jnp.asarray(desc), jnp.asarray(pose),
+            jnp.asarray(k), jnp.asarray(frame_xy),
+            jnp.asarray(frame_desc), radius_px=10.0)
+        ok = np.asarray(m.mask)
+        idx = np.asarray(m.idx)
+        assert ok.sum() >= 0.9 * p
+        # matched index must invert the permutation
+        correct = (perm[idx[ok]] == np.nonzero(ok)[0]).mean()
+        assert correct > 0.95
+
+    def test_radius_gate(self):
+        import numpy as np
+        from kornia_tpu.features import matching
+
+        pts = jnp.asarray([[0.0, 0.0, 5.0]])
+        desc = jnp.zeros((1, 256), jnp.uint8)
+        k = jnp.asarray([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]])
+        pose = jnp.asarray([1, 0, 0, 0, 0, 0, 0], jnp.float32)
+        # identical descriptor but 50 px away from the projection (320,240)
+        frame_xy = jnp.asarray([[370.0, 240.0]])
+        frame_desc = jnp.zeros((1, 256), jnp.uint8)
+        m = matching.match_by_projection(
+            pts, desc, pose, k, frame_xy, frame_desc, radius_px=15.0)
+        assert not bool(m.mask[0])
