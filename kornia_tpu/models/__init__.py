@@ -11,6 +11,8 @@ from kornia_tpu.models.vlm import (
     build_vlm,
     generate,
     load_params,
+    load_params_npz,
+    save_params_npz,
     sample_video_frames,
 )
 from kornia_tpu.models.processor import (
@@ -31,6 +33,8 @@ __all__ = [
     "build_vlm",
     "generate",
     "load_params",
+    "load_params_npz",
+    "save_params_npz",
     "sample_video_frames",
     "preprocess_image",
     "split_into_tiles",

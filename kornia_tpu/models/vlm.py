@@ -224,3 +224,29 @@ def sample_video_frames(n_frames: int, n_samples: int) -> np.ndarray:
         return np.empty(0, np.int64)
     n_samples = min(n_samples, n_frames)
     return np.linspace(0, n_frames - 1, n_samples).round().astype(np.int64)
+
+
+def save_params_npz(path: str, params) -> None:
+    """Persist a params pytree to one compressed npz ('/'-joined keys)."""
+    import flax.traverse_util as tu
+
+    flat = tu.flatten_dict(params, sep="/")
+    np.savez_compressed(path, **{k: np.asarray(v) for k, v in flat.items()})
+
+
+def load_params_npz(path: str, params_template):
+    """Load params saved by save_params_npz, validated against a template
+    pytree (shape/dtype of an init'd model)."""
+    import flax.traverse_util as tu
+
+    z = np.load(path)
+    flat = tu.flatten_dict(params_template, sep="/")
+    out = {}
+    for k in flat:
+        if k not in z:
+            raise KeyError(f"checkpoint missing parameter {k}")
+        if z[k].shape != flat[k].shape:
+            raise ValueError(
+                f"shape mismatch for {k}: {z[k].shape} vs {flat[k].shape}")
+        out[k] = jnp.asarray(z[k], flat[k].dtype)
+    return tu.unflatten_dict(out, sep="/")

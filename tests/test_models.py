@@ -193,3 +193,16 @@ class TestProcessor:
         t = M.build_prompt_tokens([7, 8], n_image_tokens=3,
                                   image_token_id=100)
         assert t.tolist() == [1, 100, 100, 100, 7, 8]
+
+
+class TestParamIO:
+    def test_npz_roundtrip(self, vlm, tmp_path):
+        import jax
+        model, params = vlm
+        p = str(tmp_path / "weights.npz")
+        M.save_params_npz(p, params)
+        loaded = M.load_params_npz(p, params)
+        a = jax.tree_util.tree_leaves(params)
+        b = jax.tree_util.tree_leaves(loaded)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
