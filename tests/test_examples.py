@@ -68,3 +68,9 @@ def test_vlm_demo():
 def test_preprocess_pipeline():
     out = _run("preprocess_pipeline.py", "--size", "224")
     assert "fused preprocess" in out
+
+
+def test_two_view():
+    out = _run("two_view.py")
+    inl = int(out.split("inliers:")[1].split(",")[0])
+    assert inl > 60
