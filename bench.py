@@ -21,21 +21,30 @@ import time
 import numpy as np
 
 
-def _best_of(fn, n=20, warmup=3):
+def _bench(fn, inputs, warmup=2):
+    """Median over one pass of DISTINCT inputs.
+
+    Not min-of-N on one input: the axon tunnel memoizes identical
+    (program, input) executions, so repeated calls with the same buffer
+    can return cached results and under-report (PERF_NOTES.md
+    §memoization). Distinct inputs + median is cache-proof and robust
+    to first-touch outliers.
+    """
     import jax
 
-    for _ in range(warmup):
-        jax.block_until_ready(fn())
+    for i in range(warmup):
+        jax.block_until_ready(fn(inputs[-(i + 1)]))
     gc.disable()
     try:
         times = []
-        for _ in range(n):
+        for x in inputs[: len(inputs) - warmup]:
             t0 = time.perf_counter()
-            jax.block_until_ready(fn())
+            jax.block_until_ready(fn(x))
             times.append(time.perf_counter() - t0)
     finally:
         gc.enable()
-    return min(times) * 1e3  # ms
+    times.sort()
+    return times[len(times) // 2] * 1e3  # median ms
 
 
 def main():
@@ -50,7 +59,9 @@ def main():
     print(f"# device: {dev}", file=sys.stderr)
 
     rng = np.random.default_rng(0)
-    frame = jnp.asarray(rng.integers(0, 256, (1080, 1920, 3), np.uint8))
+    frames = [jnp.asarray(rng.integers(0, 256, (1080, 1920, 3), np.uint8))
+              for _ in range(10)]
+    frame = frames[0]
 
     results = {}
 
@@ -62,28 +73,28 @@ def main():
         std=(0.229, 0.224, 0.225),
     )
     fused = jax.jit(lambda x: pp.resize_normalize_to_tensor(x, cfg))
-    results["fused_preprocess_1080p_to_640"] = _best_of(lambda: fused(frame))
+    results["fused_preprocess_1080p_to_640"] = _bench(fused, frames)
 
     # --- supporting ops (reported to stderr for the record) ---
     gray_fn = jax.jit(lambda x: color.rgb_to_gray(x))
-    results["gray_from_rgb_1080p"] = _best_of(lambda: gray_fn(frame))
+    results["gray_from_rgb_1080p"] = _bench(gray_fn, frames)
 
     rs_fn = jax.jit(lambda x: resize.resize(x, (540, 960), "bilinear"))
-    results["resize_half_bilinear_1080p"] = _best_of(lambda: rs_fn(frame))
+    results["resize_half_bilinear_1080p"] = _bench(rs_fn, frames)
 
     gauss_fn = jax.jit(lambda x: filters.gaussian_blur(x, (5, 5), 1.5))
-    results["gaussian5x5_1080p"] = _best_of(lambda: gauss_fn(frame))
+    results["gaussian5x5_1080p"] = _bench(gauss_fn, frames)
 
     # NB: m must be a runtime argument — captured as a jit constant, XLA
     # folds the index maps into 16 MB literal arrays and the gather takes
     # the slow opaque-index path (70 ms vs 0.08 ms, measured on v5e).
     m = jnp.asarray([[0.9, 0.2, 10.0], [-0.1, 1.05, -5.0]], jnp.float32)
     warp_fn = jax.jit(lambda x, mm: warp.warp_affine(x, mm, (1080, 1920)))
-    results["warp_affine_1080p"] = _best_of(lambda: warp_fn(frame, m))
+    results["warp_affine_1080p"] = _bench(lambda x: warp_fn(x, m), frames)
 
-    gray = gray_fn(frame)[..., 0]
+    grays = [gray_fn(f)[..., 0] for f in frames]
     fast_fn = jax.jit(lambda g: fast.fast_detect(g, threshold=20.0, max_keypoints=4096))
-    results["fast_detect_1080p"] = _best_of(lambda: fast_fn(gray))
+    results["fast_detect_1080p"] = _bench(fast_fn, grays)
 
     for k, v in results.items():
         print(f"# {k}: {v:.4f} ms", file=sys.stderr)
