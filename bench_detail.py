@@ -20,21 +20,24 @@ MH01_A = "/root/reference/tests/data/mh01_frame1.png"
 MH01_B = "/root/reference/tests/data/mh01_frame2.png"
 
 
-def _best_of(fn, n=10, warmup=2):
+def _bench_inputs(fn, inputs, warmup=2):
+    """Median over distinct inputs (cache-proof — PERF_NOTES.md:
+    the tunnel memoizes identical (program, input) executions)."""
     import jax
 
-    for _ in range(warmup):
-        jax.block_until_ready(fn())
+    for i in range(warmup):
+        jax.block_until_ready(fn(inputs[-(i + 1)]))
     gc.disable()
     try:
         times = []
-        for _ in range(n):
+        for x in inputs[: len(inputs) - warmup]:
             t0 = time.perf_counter()
-            jax.block_until_ready(fn())
+            jax.block_until_ready(fn(x))
             times.append(time.perf_counter() - t0)
     finally:
         gc.enable()
-    return min(times) * 1e3
+    times.sort()
+    return times[len(times) // 2] * 1e3
 
 
 def main():
@@ -51,18 +54,21 @@ def main():
     results = {}
 
     # --- ORB detect+describe 1080p (reference: 10.65 ms Orin CPU) ---
-    gray1080 = jnp.asarray(rng.integers(0, 256, (1080, 1920), np.uint8))
+    grays = [jnp.asarray(rng.integers(0, 256, (1080, 1920), np.uint8))
+             for _ in range(8)]
+    gray1080 = grays[0]
     cfg = orb.OrbConfig(n_features=1000, n_levels=4)
     orb_fn = jax.jit(lambda g: orb.orb_detect_and_describe(g, cfg))
-    results["orb_detect_describe_1080p"] = _best_of(
-        lambda: orb_fn(gray1080), n=5)
+    results["orb_detect_describe_1080p"] = _bench_inputs(orb_fn, grays)
 
     # --- Hamming matching 1000×1000 (part of the match split) ---
-    fa = orb_fn(gray1080)
+    feats = [orb_fn(g) for g in grays]
     match_fn = jax.jit(lambda a, b, ma, mb: matching.match_descriptors(
         a, b, a_mask=ma, b_mask=mb, max_distance=64, ratio=0.8))
-    results["match_1000x1000"] = _best_of(
-        lambda: match_fn(fa.descriptors, fa.descriptors, fa.mask, fa.mask))
+    results["match_1000x1000"] = _bench_inputs(
+        lambda f: match_fn(f[0].descriptors, f[1].descriptors,
+                           f[0].mask, f[1].mask),
+        [(feats[i], feats[(i + 1) % len(feats)]) for i in range(len(feats))])
 
     # --- two-view bootstrap on EuRoC MH01 (reference: 10.89 ms total,
     #     detect 8.15 / match 1.32 / pose 1.42 on Orin CPU) ---
@@ -90,10 +96,11 @@ def main():
                 key, x1, x2, k, k, mask=m.mask)
 
         boot = jax.jit(bootstrap)
-        key = jax.random.PRNGKey(0)
-        res = jax.block_until_ready(boot(g1, g2, key, k))
-        results["twoview_mh01_detect_match_pose"] = _best_of(
-            lambda: boot(g1, g2, key, k), n=5)
+        res = jax.block_until_ready(boot(g1, g2, jax.random.PRNGKey(0), k))
+        # vary the RANSAC key per call so nothing memoizes
+        results["twoview_mh01_detect_match_pose"] = _bench_inputs(
+            lambda kk: boot(g1, g2, kk, k),
+            [jax.random.PRNGKey(i) for i in range(8)])
         print(f"# mh01 two-view: {int(res.n_inliers)} inliers, "
               f"H-model={bool(res.use_homography)}", file=sys.stderr)
 
@@ -102,8 +109,10 @@ def main():
 
     problem, n_obs = synth_problem(n_poses=170, n_points=3000, seed=1)
     params = ba_mod.BAParams(max_iterations=5, loss="huber", loss_scale=2.0)
-    ba_fn = jax.jit(lambda p: ba_mod.bundle_adjust_schur(p, params))
-    ms = _best_of(lambda: ba_fn(problem), n=3)
+    ba_fn = jax.jit(lambda p, s: ba_mod.bundle_adjust_schur(
+        p._replace(obs_uv=p.obs_uv + s), params))
+    ms = _bench_inputs(lambda s: ba_fn(problem, s),
+                       [jnp.float32(i) * 1e-4 for i in range(5)])
     results["ba_schur_170x3000_per_iter"] = ms / params.max_iterations
     print(f"# BA problem: 170 poses, 3000 pts, {n_obs} obs",
           file=sys.stderr)
