@@ -90,10 +90,17 @@ class FastKeypoints(NamedTuple):
 
 
 def topk_keypoints(score_map: jax.Array, k: int) -> FastKeypoints:
-    """Extract the K strongest responses as fixed-shape keypoints."""
+    """Extract the K strongest responses as fixed-shape keypoints.
+
+    Uses the TPU-native ``approx_max_k`` (recall ≥0.95 of the exact
+    top-k): exact top_k over 2M scores costs 3.2 ms at 1080p while the
+    approximate reduction is bandwidth-level (~0.1 ms, PERF_NOTES.md);
+    a ≤5% miss among near-tied weakest responses is immaterial to
+    detection quality.
+    """
     h, w = score_map.shape
     flat = score_map.reshape(-1)
-    vals, idx = jax.lax.top_k(flat, k)
+    vals, idx = jax.lax.approx_max_k(flat, k)
     ys = (idx // w).astype(jnp.float32)
     xs = (idx % w).astype(jnp.float32)
     return FastKeypoints(
@@ -113,13 +120,19 @@ def fast_detect(
     """End-to-end FAST detection (reference FastDetector::detect_direct_u8,
     fast.rs:76): dense score → NMS → top-k.
 
-    KORNIA_TPU_FAST=pallas selects the hand-written Pallas stencil
-    (~20% faster on v5e; identical output) — the reference's env-gated
-    kernel-variant convention (KORNIA_FAST_NEON, fast.rs:200).
+    On TPU the Pallas stencil is the default — the VMEM-resident ring
+    avoids 16×(H, W) f32 HBM round-trips and runs 34× faster than the
+    XLA fusion (0.20 vs 6.8 ms at 1080p, bit-identical output;
+    PERF_NOTES.md). KORNIA_TPU_FAST=xla|pallas overrides — the
+    reference's env-gated kernel-variant convention (KORNIA_FAST_NEON,
+    fast.rs:200).
     """
+    import jax
+
     from kornia_tpu.utils.tracing import env_variant
 
-    if env_variant("fast", "xla") == "pallas":
+    default = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if env_variant("fast", default) == "pallas":
         from kornia_tpu.ops.pallas_kernels import fast_score_pallas
 
         s = fast_score_pallas(gray, threshold, arc_length)

@@ -34,8 +34,17 @@ _K = np.asarray([[1.0, 2.0, 1.0],
 
 def _interp(masked: jax.Array, mask: jax.Array) -> jax.Array:
     def conv(x):
-        return jax.lax.conv_general_dilated(
-            x[None, None], jnp.asarray(_K)[None, None], (1, 1), "SAME")[0, 0]
+        # shift-add instead of lax.conv (pathological for small depthwise
+        # kernels on TPU — see ops/filters._conv_sep / PERF_NOTES.md)
+        h, w = x.shape
+        p = jnp.pad(x, 1)
+        out = None
+        for dy in range(3):
+            for dx in range(3):
+                kv = float(_K[dy, dx])
+                term = p[dy: dy + h, dx: dx + w] * kv
+                out = term if out is None else out + term
+        return out
 
     num = conv(masked)
     den = conv(mask)

@@ -56,30 +56,28 @@ def gaussian_kernel1d(ksize: int, sigma: float) -> np.ndarray:
 
 
 def _conv_sep(x: jax.Array, ky: np.ndarray, kx: np.ndarray, border: str = "reflect") -> jax.Array:
-    """Depthwise separable 2-D convolution of (..., H, W, C), float32 out."""
+    """Depthwise separable 2-D convolution of (..., H, W, C), float32 out.
+
+    Implemented as static shifted adds, NOT lax.conv: XLA lowers small
+    depthwise convolutions on TPU through a pathological path (measured
+    68 ms for a 5×5 at 1080p vs ≈0.1 ms for the shift-add form, which
+    fuses into one bandwidth-bound VPU pass — PERF_NOTES.md).
+    """
     lead = x.shape[:-3]
     h, w, c = x.shape[-3:]
     xf = x.astype(jnp.float32).reshape((-1, h, w, c))
     ph, pw = len(ky) // 2, len(kx) // 2
     xf = _PAD[border](xf, ph, pw)
-    # vertical pass: kernel (kh, 1, 1, C→C depthwise)
-    kyj = jnp.asarray(ky, jnp.float32).reshape(len(ky), 1, 1, 1)
-    kyj = jnp.tile(kyj, (1, 1, 1, c))
-    out = jax.lax.conv_general_dilated(
-        xf, kyj,
-        window_strides=(1, 1), padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=c,
-    )
-    kxj = jnp.asarray(kx, jnp.float32).reshape(1, len(kx), 1, 1)
-    kxj = jnp.tile(kxj, (1, 1, 1, c))
-    out = jax.lax.conv_general_dilated(
-        out, kxj,
-        window_strides=(1, 1), padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=c,
-    )
-    return out.reshape(lead + (h, w, c))
+
+    out = None
+    for i, kv in enumerate(np.asarray(ky, np.float64)):
+        term = xf[:, i: i + h, :, :] * jnp.float32(kv)
+        out = term if out is None else out + term
+    out2 = None
+    for j, kv in enumerate(np.asarray(kx, np.float64)):
+        term = out[:, :, j: j + w, :] * jnp.float32(kv)
+        out2 = term if out2 is None else out2 + term
+    return out2.reshape(lead + (h, w, c))
 
 
 def _finalize(out: jax.Array, dtype) -> jax.Array:
@@ -159,12 +157,15 @@ def filter2d(img: jax.Array, kernel: jax.Array, border: str = "reflect") -> jax.
     h, w, c = x.shape[-3:]
     xf = x.astype(jnp.float32).reshape((-1, h, w, c))
     xf = _PAD[border](xf, kh // 2, kw // 2)
-    k = jnp.asarray(kernel, jnp.float32).reshape(kh, kw, 1, 1)
-    k = jnp.tile(k, (1, 1, 1, c))
-    out = jax.lax.conv_general_dilated(
-        xf, k, (1, 1), "VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
-    ).reshape(lead + (h, w, c))
+    # shift-add, not lax.conv (see _conv_sep): traced kernel values keep
+    # this jittable with runtime kernels while the loop stays static
+    kf = jnp.asarray(kernel, jnp.float32)
+    out = None
+    for dy in range(kh):
+        for dx in range(kw):
+            term = xf[:, dy: dy + h, dx: dx + w, :] * kf[dy, dx]
+            out = term if out is None else out + term
+    out = out.reshape(lead + (h, w, c))
     out = _finalize(out, img.dtype)
     return out[..., 0] if squeeze else out
 

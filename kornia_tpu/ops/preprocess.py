@@ -76,9 +76,14 @@ def resize_normalize_to_tensor(
     wx = jnp.asarray(_resize_matrix(w, rw, cfg.interp, False))
 
     x = rgb_u8.astype(jnp.float32)
-    # rows then cols; fold the /255 and mean/std into the epilogue
-    t = jnp.einsum("oh,hwc->owc", wy, x, precision=jax.lax.Precision.HIGHEST)
-    t = jnp.einsum("pw,owc->opc", wx, t, precision=jax.lax.Precision.HIGHEST)
+    # rows then cols; fold the /255 and mean/std into the epilogue.
+    # DEFAULT precision: u8 values are exact in one bf16 MXU pass and the
+    # weight rounding stays under 1 u8 LSB — 3× the 3-pass throughput
+    # (model-preprocess outputs are consumed by bf16 networks anyway).
+    t = jnp.einsum("oh,hwc->owc", wy, x,
+                   precision=jax.lax.Precision.DEFAULT)
+    t = jnp.einsum("pw,owc->opc", wx, t,
+                   precision=jax.lax.Precision.DEFAULT)
     if cfg.normalize is NormalizeMode.MEAN_STD:
         t = (t * (1.0 / 255.0) - mean) / std
     else:
