@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import List, NamedTuple, Tuple
 
 import numpy as np
@@ -96,6 +97,48 @@ def _gather_patches(gray_f: jax.Array, xy_int: jax.Array, half: int) -> jax.Arra
     return gray_f[iy, ix]
 
 
+_WIN_H = 48       # keypoint window: covers the 31×31 orientation patch
+_WIN_W = 128      # and all rotated BRIEF taps; 128 lanes = one vreg
+_WIN_CY = 24
+_WIN_CX = 64
+
+
+def _extract_windows(img_f: jax.Array, xy_int: jax.Array) -> jax.Array:
+    """(K, 48, 128) windows centered at keypoints, edge-replicated at
+    borders — per-pixel identical to the clamp semantics of the gather
+    path, but built from K contiguous dynamic slices instead of K·6k
+    scattered reads (TPU gathers run at scalar rate — PERF_NOTES.md).
+
+    On TPU this routes through ops.pallas_kernels.extract_windows_pallas
+    (source frame VMEM-resident, one slice + two rolls per window,
+    0.3 ms / 2048 windows); XLA's vmapped dynamic_slice issues one HBM
+    DMA per window (~1.5 µs each, 3.1 ms / 2048)."""
+    if jax.default_backend() == "tpu":
+        from kornia_tpu.ops.pallas_kernels import extract_windows_pallas
+
+        return extract_windows_pallas(img_f, xy_int, _WIN_H, _WIN_W,
+                                      _WIN_CY, _WIN_CX)
+    pad = jnp.pad(img_f, ((_WIN_CY, _WIN_H - _WIN_CY),
+                          (_WIN_CX, _WIN_W - _WIN_CX)), mode="edge")
+
+    def one(c):
+        return jax.lax.dynamic_slice(
+            pad, (c[1], c[0]), (_WIN_H, _WIN_W))
+
+    return jax.vmap(one)(xy_int)
+
+
+def orientation_from_windows(windows: jax.Array) -> jax.Array:
+    """Intensity-centroid orientation from (K, 48, 128) windows."""
+    patches = windows[:, _WIN_CY - _HALF: _WIN_CY + _HALF + 1,
+                      _WIN_CX - _HALF: _WIN_CX + _HALF + 1]
+    mask = jnp.asarray(_circular_mask())
+    offs = jnp.arange(-_HALF, _HALF + 1, dtype=jnp.float32)
+    m10 = jnp.sum(patches * mask * offs[None, None, :], axis=(1, 2))
+    m01 = jnp.sum(patches * mask * offs[None, :, None], axis=(1, 2))
+    return jnp.arctan2(m01, m10)
+
+
 def orientation_ic(gray_f: jax.Array, xy: jax.Array) -> jax.Array:
     """Intensity-centroid orientation at (K, 2) keypoints, radians
     (reference extractor.rs:1362 NEON kernel)."""
@@ -106,6 +149,45 @@ def orientation_ic(gray_f: jax.Array, xy: jax.Array) -> jax.Array:
     m10 = jnp.sum(patches * mask * offs[None, None, :], axis=(1, 2))
     m01 = jnp.sum(patches * mask * offs[None, :, None], axis=(1, 2))
     return jnp.arctan2(m01, m10)
+
+
+def brief_from_windows(windows: jax.Array, angle: jax.Array,
+                       seed: int = 7) -> jax.Array:
+    """Rotated BRIEF-256 from (K, 48, 128) blurred windows.
+
+    Sampling = one vector-rate Mosaic lane gather for the tap columns +
+    a one-hot row reduction — zero scalar gathers. Bit-identical to
+    brief_describe (same rounding, same clamp semantics).
+    """
+    from kornia_tpu.ops.pallas_kernels import lane_gather
+
+    pat = jnp.asarray(brief_pattern(seed))  # (256, 4)
+    ca, sa = jnp.cos(angle), jnp.sin(angle)
+    k = windows.shape[0]
+
+    # taps ordered [A(256), B(256)]
+    px = jnp.concatenate([pat[:, 0], pat[:, 2]]).astype(jnp.float32)
+    py = jnp.concatenate([pat[:, 1], pat[:, 3]]).astype(jnp.float32)
+    dx = jnp.round(px[None, :] * ca[:, None]
+                   - py[None, :] * sa[:, None]).astype(jnp.int32)
+    dy = jnp.round(px[None, :] * sa[:, None]
+                   + py[None, :] * ca[:, None]).astype(jnp.int32)
+    cols = jnp.clip(_WIN_CX + dx, 0, _WIN_W - 1)       # (K, 512)
+    rows = jnp.clip(_WIN_CY + dy, 0, _WIN_H - 1)       # (K, 512)
+
+    src = windows.reshape(k * _WIN_H, _WIN_W)
+    samples = []
+    iota_y = jnp.arange(_WIN_H)[None, :, None]
+    for g in range(4):
+        cg = cols[:, g * 128: (g + 1) * 128]           # (K, 128)
+        idx = jnp.broadcast_to(cg[:, None, :],
+                               (k, _WIN_H, 128)).reshape(-1, 128)
+        gathered = lane_gather(src, idx).reshape(k, _WIN_H, 128)
+        rg = rows[:, g * 128: (g + 1) * 128]           # (K, 128)
+        oh = (iota_y == rg[:, None, :])
+        samples.append(jnp.sum(jnp.where(oh, gathered, 0.0), axis=1))
+    s = jnp.concatenate(samples, axis=1)               # (K, 512)
+    return (s[:, :256] < s[:, 256:]).astype(jnp.uint8)
 
 
 def brief_describe(
@@ -178,9 +260,18 @@ def _process_level(
     xy = kps.xy[idx]
     valid = vals > 0.0
 
-    ang = orientation_ic(gray_f, xy)
     blurred = gaussian_blur(gray_f[..., None], (7, 7), 2.0)[..., 0]
-    desc = brief_describe(blurred, xy, ang, cfg.pattern_seed)
+    if os.environ.get("KORNIA_TPU_ORB", "windows") == "windows":
+        # gather-free describe: per-kp (48, 128) windows via dynamic
+        # slices, BRIEF taps via Mosaic lane gather (PERF_NOTES.md —
+        # scattered gathers run at scalar rate on TPU, ~30 ms/frame)
+        xy_int = jnp.round(xy).astype(jnp.int32)
+        ang = orientation_from_windows(_extract_windows(gray_f, xy_int))
+        desc = brief_from_windows(
+            _extract_windows(blurred, xy_int), ang, cfg.pattern_seed)
+    else:
+        ang = orientation_ic(gray_f, xy)
+        desc = brief_describe(blurred, xy, ang, cfg.pattern_seed)
     return (
         xy * scale,
         jnp.where(valid, vals, 0.0),

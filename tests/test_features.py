@@ -176,3 +176,50 @@ class TestMatchByProjection:
         m = matching.match_by_projection(
             pts, desc, pose, k, frame_xy, frame_desc, radius_px=15.0)
         assert not bool(m.mask[0])
+
+
+class TestOrbWindowPath:
+    """The gather-free (windows + lane-gather) describe path must match
+    the per-pixel gather path (bit-identical primitives; full-pipeline
+    angles to float32 reduction-order noise)."""
+
+    def test_paths_bit_identical(self, monkeypatch):
+        rng = np.random.default_rng(3)
+        img = jnp.asarray(rng.integers(0, 256, (120, 160), np.uint8))
+        new = O.orb_detect_and_describe(img)
+        monkeypatch.setenv("KORNIA_TPU_ORB", "gather")
+        old = O.orb_detect_and_describe(img)
+        np.testing.assert_array_equal(np.asarray(new.xy),
+                                      np.asarray(old.xy))
+        np.testing.assert_array_equal(np.asarray(new.mask),
+                                      np.asarray(old.mask))
+        # XLA may reorder the float32 orientation reductions between the
+        # two programs: on VALID keypoints angles agree to float noise
+        # (invalid slots hold arctan2 of pure noise); a knife-edge angle
+        # can flip the rotated-tap rounding for a handful of bits
+        mk = np.asarray(new.mask)
+        np.testing.assert_allclose(np.asarray(new.angle)[mk],
+                                   np.asarray(old.angle)[mk], atol=1e-4)
+        bitdiff = (np.asarray(new.descriptors)[mk]
+                   != np.asarray(old.descriptors)[mk]).mean()
+        assert bitdiff < 0.005, bitdiff
+
+    def test_window_primitives_match(self):
+        rng = np.random.default_rng(4)
+        gray = jnp.asarray(rng.standard_normal((100, 140)), jnp.float32)
+        k = 33
+        xs = rng.integers(0, 140, k)
+        ys = rng.integers(0, 100, k)
+        xs[:2] = [0, 139]
+        ys[:2] = [99, 0]
+        xy = jnp.asarray(np.stack([xs, ys], 1).astype(np.float32))
+        xy_int = jnp.round(xy).astype(jnp.int32)
+        win = O._extract_windows(gray, xy_int)
+        ang_ref = O.orientation_ic(gray, xy)
+        np.testing.assert_array_equal(
+            np.asarray(O.orientation_from_windows(win)),
+            np.asarray(ang_ref))
+        d_ref = O.brief_describe(gray, xy, ang_ref)
+        np.testing.assert_array_equal(
+            np.asarray(O.brief_from_windows(win, ang_ref)),
+            np.asarray(d_ref))

@@ -61,3 +61,35 @@ class TestFastScorePallas:
                                       np.asarray(ref.xy))
         np.testing.assert_array_equal(np.asarray(got.mask),
                                       np.asarray(ref.mask))
+
+
+class TestLaneGather:
+    def test_matches_take_along_axis(self, rng):
+        for n in (5, 512, 700):
+            src = jnp.asarray(rng.standard_normal((n, 128)), jnp.float32)
+            idx = jnp.asarray(rng.integers(0, 128, (n, 128), np.int32))
+            ref = np.take_along_axis(np.asarray(src), np.asarray(idx), 1)
+            np.testing.assert_array_equal(
+                np.asarray(pk.lane_gather(src, idx)), ref)
+
+    def test_rejects_non_128_lanes(self, rng):
+        src = jnp.zeros((8, 64), jnp.float32)
+        with pytest.raises(ValueError):
+            pk.lane_gather(src, jnp.zeros((8, 64), jnp.int32))
+
+
+class TestExtractWindowsPallas:
+    def test_matches_vmap_slice_path(self, rng):
+        from kornia_tpu.features import orb
+
+        for h, w in ((240, 320), (97, 131)):
+            img = jnp.asarray(rng.standard_normal((h, w)), jnp.float32)
+            k = 21
+            xs = rng.integers(0, w, k)
+            ys = rng.integers(0, h, k)
+            xs[:4] = [0, w - 1, 1, w - 2]
+            ys[:4] = [0, h - 1, h - 1, 0]
+            xy = jnp.asarray(np.stack([xs, ys], 1).astype(np.int32))
+            ref = np.asarray(orb._extract_windows(img, xy))
+            got = np.asarray(pk.extract_windows_pallas(img, xy))
+            np.testing.assert_array_equal(got, ref)
