@@ -1,19 +1,25 @@
 """Benchmark harness — prints ONE JSON line for the driver.
 
-Methodology follows the reference's (kornia-py/benchmarks.md): best-of-N
-min with GC off, device-synced timing (`block_until_ready`), byte-level
-sanity checks alongside speed. Headline metric: the fused DNN-preprocess
-pipeline (1080p RGB u8 → 640×640 normalized CHW f32), the reference's
-flagship fused kernel (benchmark-cuda-color-conversions.md §Fused:
-0.0968 ms on Orin Nano CUDA). vs_baseline is the speedup factor
-(baseline_ms / ours_ms; > 1 means faster than the reference's GPU number).
+Methodology: the SLOPE instrument (PERF_NOTES.md §Methodology). The axon
+tunnel defeats naive timing three ways: `block_until_ready` doesn't
+block (only value fetch does), identical (program, input) executions
+are memoized, and partially-consumed outputs get dead-code-sliced. So
+each op is run K times *inside one lax.scan program* with a chained
+data dependency and full-output consumption; cost = the slope of total
+fetched wall time between two K values. Validated against the bf16
+matmul roofline (186 of 197 TFLOP/s).
+
+Headline metric: the fused DNN-preprocess pipeline (1080p RGB u8 →
+640×640 normalized CHW f32), the reference's flagship fused kernel
+(benchmark-cuda-color-conversions.md §Fused: 0.0968 ms on Orin Nano
+CUDA). vs_baseline = baseline_ms / ours_ms (> 1 means faster than the
+reference's GPU number).
 
 Detailed per-op results go to stderr; stdout carries only the JSON line.
 """
 
 from __future__ import annotations
 
-import gc
 import json
 import sys
 import time
@@ -21,30 +27,41 @@ import time
 import numpy as np
 
 
-def _bench(fn, inputs, warmup=2):
-    """Median over one pass of DISTINCT inputs.
+def _slope(op, x, ks, reps=3):
+    """True per-op cost in ms: K chained in-program reps, slope over ks.
 
-    Not min-of-N on one input: the axon tunnel memoizes identical
-    (program, input) executions, so repeated calls with the same buffer
-    can return cached results and under-report (PERF_NOTES.md
-    §memoization). Distinct inputs + median is cache-proof and robust
-    to first-touch outliers.
+    op: carry -> output pytree (carry has x's shape/dtype).
     """
     import jax
+    import jax.numpy as jnp
 
-    for i in range(warmup):
-        jax.block_until_ready(fn(inputs[-(i + 1)]))
-    gc.disable()
-    try:
-        times = []
-        for x in inputs[: len(inputs) - warmup]:
+    def make(n):
+        @jax.jit
+        def run(x, seed):
+            def body(carry, _):
+                out = op(carry)
+                leaves = jax.tree_util.tree_leaves(out)
+                probe = sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
+                bump = (probe * jnp.float32(1e-30)).astype(carry.dtype)
+                return carry + bump, probe
+
+            _, probes = jax.lax.scan(
+                body, x + seed.astype(x.dtype), None, length=n)
+            return probes.sum()
+
+        return run
+
+    times = {}
+    for n in ks:
+        f = make(n)
+        float(f(x, jnp.float32(1).astype(x.dtype)))  # compile + warm
+        ts = []
+        for i in range(reps):
             t0 = time.perf_counter()
-            jax.block_until_ready(fn(x))
-            times.append(time.perf_counter() - t0)
-    finally:
-        gc.enable()
-    times.sort()
-    return times[len(times) // 2] * 1e3  # median ms
+            float(f(x, jnp.float32(i + 2).astype(x.dtype)))
+            ts.append(time.perf_counter() - t0)
+        times[n] = min(ts)
+    return (times[ks[1]] - times[ks[0]]) / (ks[1] - ks[0]) * 1e3
 
 
 def main():
@@ -59,9 +76,8 @@ def main():
     print(f"# device: {dev}", file=sys.stderr)
 
     rng = np.random.default_rng(0)
-    frames = [jnp.asarray(rng.integers(0, 256, (1080, 1920, 3), np.uint8))
-              for _ in range(10)]
-    frame = frames[0]
+    rgb = jnp.asarray(rng.integers(0, 256, (1080, 1920, 3), np.uint8))
+    gray = jnp.asarray(rng.integers(0, 256, (1080, 1920), np.uint8))
 
     results = {}
 
@@ -72,29 +88,39 @@ def main():
         mean=(0.485, 0.456, 0.406),
         std=(0.229, 0.224, 0.225),
     )
-    fused = jax.jit(lambda x: pp.resize_normalize_to_tensor(x, cfg))
-    results["fused_preprocess_1080p_to_640"] = _bench(fused, frames)
+    results["fused_preprocess_1080p_to_640"] = _slope(
+        lambda x: pp.resize_normalize_to_tensor(x, cfg), rgb, ks=(4, 64))
 
-    # --- supporting ops (reported to stderr for the record) ---
-    gray_fn = jax.jit(lambda x: color.rgb_to_gray(x))
-    results["gray_from_rgb_1080p"] = _bench(gray_fn, frames)
+    # --- supporting ops (stderr, for the record; ΔK sized to each op) ---
+    results["gray_from_rgb_1080p"] = _slope(
+        color.rgb_to_gray, rgb, ks=(4, 64))
+    results["resize_half_bilinear_1080p"] = _slope(
+        lambda x: resize.resize(x, (540, 960), "bilinear"), gray,
+        ks=(4, 64))
+    results["gaussian5x5_1080p"] = _slope(
+        lambda x: filters.gaussian_blur(
+            x.astype(jnp.float32)[..., None], (5, 5), 1.5), gray,
+        ks=(4, 64))
 
-    rs_fn = jax.jit(lambda x: resize.resize(x, (540, 960), "bilinear"))
-    results["resize_half_bilinear_1080p"] = _bench(rs_fn, frames)
+    m = np.asarray([[0.9, 0.2, 10.0], [-0.1, 1.05, -5.0]], np.float32)
+    results["warp_affine_shear_1080p"] = _slope(
+        lambda x: warp.warp_affine(
+            x.astype(jnp.float32), jnp.asarray(m), (1080, 1920),
+            method="shear"), gray, ks=(2, 10))
 
-    gauss_fn = jax.jit(lambda x: filters.gaussian_blur(x, (5, 5), 1.5))
-    results["gaussian5x5_1080p"] = _bench(gauss_fn, frames)
+    results["fast_detect_1080p"] = _slope(
+        lambda g: fast.fast_detect(
+            g, threshold=20.0, max_keypoints=4096).xy, gray, ks=(4, 34))
 
-    # NB: m must be a runtime argument — captured as a jit constant, XLA
-    # folds the index maps into 16 MB literal arrays and the gather takes
-    # the slow opaque-index path (70 ms vs 0.08 ms, measured on v5e).
-    m = jnp.asarray([[0.9, 0.2, 10.0], [-0.1, 1.05, -5.0]], jnp.float32)
-    warp_fn = jax.jit(lambda x, mm: warp.warp_affine(x, mm, (1080, 1920)))
-    results["warp_affine_1080p"] = _bench(lambda x: warp_fn(x, m), frames)
+    g640 = jnp.asarray(rng.integers(0, 256, (480, 640), np.uint8))
+    results["orb_2000kp_480x640"] = _slope(
+        lambda g: orb.orb_detect_and_describe(g), g640, ks=(2, 12))
 
-    grays = [gray_fn(f)[..., 0] for f in frames]
-    fast_fn = jax.jit(lambda g: fast.fast_detect(g, threshold=20.0, max_keypoints=4096))
-    results["fast_detect_1080p"] = _bench(fast_fn, grays)
+    bits_b = rng.integers(0, 2, (1024, 256)).astype(np.uint8)
+    results["hamming_match_1024"] = _slope(
+        lambda a: matching.match_descriptors(a, jnp.asarray(bits_b)),
+        jnp.asarray(rng.integers(0, 2, (1024, 256)).astype(np.uint8)),
+        ks=(4, 34))
 
     for k, v in results.items():
         print(f"# {k}: {v:.4f} ms", file=sys.stderr)

@@ -18,16 +18,101 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from kornia_tpu.geometry.linalg import homogenize
+from kornia_tpu.geometry.linalg import homogenize, inv3x3
+
+
+def _det_lu(m: jax.Array) -> jax.Array:
+    """Batched determinant of (..., n, n) via unrolled partial-pivot LU.
+
+    Every step is elementwise/select over the batch — no LAPACK-style
+    iterative kernel. TPU eigh/svd on thousands of tiny matrices run at
+    scalar rate (512 9×9 eighs ≈ 10 ms); this is vector-rate.
+    """
+    n = m.shape[-1]
+    det = jnp.ones(m.shape[:-2], m.dtype)
+    sign = jnp.ones(m.shape[:-2], m.dtype)
+    rows = np.arange(n)
+    for k in range(n):
+        col = m[..., :, k]
+        cand = jnp.where(rows >= k, jnp.abs(col), -1.0)
+        p = jnp.argmax(cand, axis=-1)                       # (...,)
+        e_p = (rows == p[..., None]).astype(m.dtype)        # (..., n)
+        e_k = jnp.zeros((n,), m.dtype).at[k].set(1.0)
+        row_k = m[..., k, :]
+        row_p = jnp.einsum("...r,...rc->...c", e_p, m)
+        m = (m
+             - e_k[..., :, None] * (row_k - row_p)[..., None, :]
+             - e_p[..., None] * (row_p - row_k)[..., None, :])
+        sign = sign * jnp.where(p == k, 1.0, -1.0)
+        piv = m[..., k, k]
+        det = det * piv
+        safe = jnp.where(jnp.abs(piv) > 1e-30, piv, 1.0)
+        factor = jnp.where(rows > k, m[..., :, k] / safe[..., None], 0.0)
+        m = m - factor[..., None] * m[..., k, None, :]
+    return det * sign
+
+
+def _nullvec_cramer(a: jax.Array) -> jax.Array:
+    """Exact null vector of a minimal (..., n, n+1) system via Cramer:
+    v_j = (−1)^j det(A with column j dropped). One batched LU-det over
+    the (n+1) minors — fully vectorized, no eigh."""
+    n = a.shape[-2]
+    d = a.shape[-1]
+    minors = jnp.stack(
+        [a[..., :, [c for c in range(d) if c != j]] for j in range(d)],
+        axis=-3)                                   # (..., d, n, n)
+    dets = _det_lu(minors)                         # (..., d)
+    signs = np.asarray([(-1.0) ** j for j in range(d)], np.float32)
+    v = dets * signs
+    nrm = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    return v / jnp.maximum(nrm, 1e-30)
+
+
+def _eigvec_min_sym3(s: jax.Array) -> jax.Array:
+    """Smallest-eigenvalue unit eigenvector of symmetric (..., 3, 3),
+    closed form (Cardano roots + Cayley–Hamilton column extraction) —
+    replaces per-hypothesis 3×3 SVD/eigh (scalar rate on TPU)."""
+    q = jnp.trace(s, axis1=-2, axis2=-1) / 3.0
+    p1 = s[..., 0, 1] ** 2 + s[..., 0, 2] ** 2 + s[..., 1, 2] ** 2
+    dif = jnp.stack([s[..., 0, 0] - q, s[..., 1, 1] - q,
+                     s[..., 2, 2] - q], axis=-1)
+    p2 = jnp.sum(dif * dif, axis=-1) + 2.0 * p1
+    p = jnp.sqrt(jnp.maximum(p2 / 6.0, 1e-30))
+    eye = np.eye(3, dtype=np.float32)
+    b = (s - q[..., None, None] * eye) / p[..., None, None]
+    det_b = (b[..., 0, 0] * (b[..., 1, 1] * b[..., 2, 2] - b[..., 1, 2] * b[..., 2, 1])
+             - b[..., 0, 1] * (b[..., 1, 0] * b[..., 2, 2] - b[..., 1, 2] * b[..., 2, 0])
+             + b[..., 0, 2] * (b[..., 1, 0] * b[..., 2, 1] - b[..., 1, 1] * b[..., 2, 0]))
+    r = jnp.clip(det_b / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    lam1 = q + 2.0 * p * jnp.cos(phi)                      # largest
+    lam3 = q + 2.0 * p * jnp.cos(phi + 2.0 * np.pi / 3.0)  # smallest
+    lam2 = 3.0 * q - lam1 - lam3
+    m = ((s - lam1[..., None, None] * eye)
+         @ (s - lam2[..., None, None] * eye))  # columns ∝ v_min
+    nrm2 = jnp.sum(m * m, axis=-2)                          # (..., 3)
+    j = jnp.argmax(nrm2, axis=-1)
+    col = jnp.take_along_axis(
+        m, j[..., None, None].repeat(3, axis=-2), axis=-1)[..., 0]
+    # degenerate (isotropic / p≈0): any unit vector is valid
+    col = jnp.where((p2 > 1e-24)[..., None], col,
+                    np.asarray([1.0, 0.0, 0.0], np.float32))
+    return col / jnp.maximum(
+        jnp.linalg.norm(col, axis=-1, keepdims=True), 1e-30)
 
 
 def _nullvec(a: jax.Array) -> jax.Array:
-    """Smallest right-singular vector of (..., N, D) via eigh of AᵀA.
+    """Smallest right-singular vector of (..., N, D).
 
-    SVD with full_matrices=False drops the null vector when N == D−1
-    (minimal samples); the D×D normal-matrix eigendecomposition is also the
-    cheaper batched op on TPU.
+    Minimal systems (N == D−1, the per-hypothesis RANSAC shape) go
+    through the vectorized Cramer path; overdetermined systems use eigh
+    of AᵀA. SVD with full_matrices=False drops the null vector when
+    N == D−1, and batched eigh/svd on tiny matrices is scalar-rate on
+    TPU — the Cramer path cut the 512-hypothesis 8-pt solve from 9.8 ms
+    to vector rate (PERF_NOTES.md).
     """
+    if a.shape[-2] == a.shape[-1] - 1:
+        return _nullvec_cramer(a)
     ata = jnp.einsum("...ni,...nj->...ij", a, a, precision=jax.lax.Precision.HIGHEST)
     _, evecs = jnp.linalg.eigh(ata)  # ascending eigenvalues
     return evecs[..., :, 0]
@@ -85,10 +170,11 @@ def fundamental_8pt(x1: jax.Array, x2: jax.Array, weights: jax.Array | None = No
     if weights is not None:
         a = a * weights[..., None]
     f = _nullvec(a).reshape(x1.shape[:-2] + (3, 3))
-    # rank-2 projection
-    uf, sf, vtf = jnp.linalg.svd(f)
-    sf = sf.at[..., 2].set(0.0)
-    f = uf @ (sf[..., :, None] * vtf)
+    # rank-2 projection WITHOUT a batched 3×3 SVD (scalar rate on TPU):
+    # F' = F − σ₃u₃v₃ᵀ = F(I − v₃v₃ᵀ) where v₃ is the smallest
+    # eigenvector of FᵀF (closed form) and Fv₃ = σ₃u₃.
+    v3 = _eigvec_min_sym3(jnp.swapaxes(f, -1, -2) @ f)
+    f = f - (f @ v3[..., :, None]) * v3[..., None, :]
     # denormalize: F = T2ᵀ F T1
     f = jnp.swapaxes(t2, -1, -2) @ f @ t1
     # canonical scale
@@ -184,7 +270,7 @@ def homography_dlt(x1: jax.Array, x2: jax.Array, weights: jax.Array | None = Non
         w2 = jnp.concatenate([weights, weights], axis=-1)
         a = a * w2[..., None]
     h = _nullvec(a).reshape(x1.shape[:-2] + (3, 3))
-    h = jnp.linalg.inv(t2) @ h @ t1
+    h = inv3x3(t2) @ h @ t1
     return h / jnp.where(jnp.abs(h[..., 2:3, 2:3]) < 1e-12, 1e-12, h[..., 2:3, 2:3])
 
 
@@ -194,7 +280,7 @@ def homography_transfer_error(h: jax.Array, x1: jax.Array, x2: jax.Array) -> jax
     hx1 = jnp.einsum("...ij,...nj->...ni", h, p1)
     fwd = hx1[..., :2] / jnp.where(jnp.abs(hx1[..., 2:]) < 1e-12, 1e-12, hx1[..., 2:])
     e_fwd = jnp.sum((fwd - x2) ** 2, axis=-1)
-    hinv = jnp.linalg.inv(h)
+    hinv = inv3x3(h)
     p2 = homogenize(x2)
     hx2 = jnp.einsum("...ij,...nj->...ni", hinv, p2)
     bwd = hx2[..., :2] / jnp.where(jnp.abs(hx2[..., 2:]) < 1e-12, 1e-12, hx2[..., 2:])

@@ -67,6 +67,29 @@ def solve_cholesky_damped(a: jax.Array, b: jax.Array, damping) -> jax.Array:
     return solve_cholesky(a_damped, b)
 
 
+def inv3x3(m: jax.Array) -> jax.Array:
+    """Closed-form adjugate inverse of (..., 3, 3).
+
+    Batched `jnp.linalg.inv` lowers to a scalar-rate LU kernel on TPU;
+    the adjugate is pure elementwise math and vectorizes over any batch
+    (used per-RANSAC-hypothesis — see PERF_NOTES.md)."""
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    co_a = e * i - f * h
+    co_b = f * g - d * i
+    co_c = d * h - e * g
+    det = a * co_a + b * co_b + c * co_c
+    det = jnp.where(jnp.abs(det) < 1e-30,
+                    jnp.where(det < 0, -1e-30, 1e-30), det)
+    adj = jnp.stack([
+        co_a, c * h - b * i, b * f - c * e,
+        co_b, a * i - c * g, c * d - a * f,
+        co_c, b * g - a * h, a * e - b * d,
+    ], axis=-1).reshape(m.shape)
+    return adj / det[..., None, None]
+
+
 def hnormalize(x: jax.Array) -> jax.Array:
     """Homogeneous → euclidean: divide by last coordinate."""
     return x[..., :-1] / jnp.where(jnp.abs(x[..., -1:]) < 1e-12, 1e-12, x[..., -1:])

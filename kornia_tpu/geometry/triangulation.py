@@ -34,8 +34,37 @@ def triangulate_dlt(
         rows.append(u * p2r - p0)
         rows.append(v * p2r - p1r)
     a = jnp.stack(rows, axis=-2)  # (..., N, 4, 4)
-    _, _, vt = jnp.linalg.svd(a)
-    xh = vt[..., -1, :]
+    # Null vector without N batched 4×4 SVDs (scalar rate on TPU, ~10 ms
+    # for 2000 points): for M = AᵀA with λ_min ≪ λ₂ (the triangulation
+    # regime), adj(M) = det(M)·M⁻¹ ≈ (λ₁λ₂λ₃)·vvᵀ is rank-1 along the
+    # null direction, and adj(M)·M = det(M)·I → its columns ARE the null
+    # space when M is exactly rank-3. Pure cofactor arithmetic, fully
+    # vectorized.
+    m = jnp.einsum("...ki,...kj->...ij", a, a)
+
+    def det3(r0, r1, r2, cols):
+        c0, c1, c2 = cols
+        return (m[..., r0, c0] * (m[..., r1, c1] * m[..., r2, c2]
+                                  - m[..., r1, c2] * m[..., r2, c1])
+                - m[..., r0, c1] * (m[..., r1, c0] * m[..., r2, c2]
+                                    - m[..., r1, c2] * m[..., r2, c0])
+                + m[..., r0, c2] * (m[..., r1, c0] * m[..., r2, c1]
+                                    - m[..., r1, c1] * m[..., r2, c0]))
+
+    idx = [0, 1, 2, 3]
+    adj_cols = []
+    for j in range(4):          # adj[i, j] = (−1)^{i+j} minor(j, i)
+        col = []
+        for i in range(4):
+            rows3 = [r for r in idx if r != j]
+            cols3 = [c for c in idx if c != i]
+            col.append(((-1.0) ** (i + j)) * det3(*rows3, cols3))
+        adj_cols.append(jnp.stack(col, axis=-1))    # (..., 4) = adj[:, j]
+    adj = jnp.stack(adj_cols, axis=-1)              # (..., 4, 4)
+    nrm2 = jnp.sum(adj * adj, axis=-2)              # (..., 4) col norms
+    j = jnp.argmax(nrm2, axis=-1)
+    xh = jnp.take_along_axis(
+        adj, j[..., None, None].repeat(4, axis=-2), axis=-1)[..., 0]
     w = xh[..., 3:4]
     return xh[..., :3] / jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)
 

@@ -75,29 +75,37 @@ def resize_normalize_to_tensor(
     wy = jnp.asarray(_resize_matrix(h, rh, cfg.interp, False))
     wx = jnp.asarray(_resize_matrix(w, rw, cfg.interp, False))
 
-    x = rgb_u8.astype(jnp.float32)
-    # rows then cols; fold the /255 and mean/std into the epilogue.
-    # DEFAULT precision: u8 values are exact in one bf16 MXU pass and the
-    # weight rounding stays under 1 u8 LSB — 3× the 3-pass throughput
-    # (model-preprocess outputs are consumed by bf16 networks anyway).
-    t = jnp.einsum("oh,hwc->owc", wy, x,
-                   precision=jax.lax.Precision.DEFAULT)
-    t = jnp.einsum("pw,owc->opc", wx, t,
-                   precision=jax.lax.Precision.DEFAULT)
+    x = rgb_u8.astype(jnp.bfloat16)
+    # rows then cols. DEFAULT precision: u8 values are exact in one bf16
+    # MXU pass and the weight rounding stays under 1 u8 LSB — 3× the
+    # 3-pass throughput (model-preprocess outputs are consumed by bf16
+    # networks anyway). The second einsum emits CHW directly ("->cop"):
+    # letting the dot produce the layout is 8× cheaper than a separate
+    # (out_h, out_w, 3) → (3, out_h, out_w) minor-dim transpose
+    # (0.012 vs 0.099 ms @1080p→640², PERF_NOTES.md slope numbers).
+    t = jnp.einsum("oh,hwc->owc", wy.astype(jnp.bfloat16), x,
+                   precision=jax.lax.Precision.DEFAULT,
+                   preferred_element_type=jnp.float32)
+    t = jnp.einsum("pw,owc->cop", wx.astype(jnp.bfloat16),
+                   t.astype(jnp.bfloat16),
+                   precision=jax.lax.Precision.DEFAULT,
+                   preferred_element_type=jnp.float32)  # (3, oh, ow)
+    mean_c = mean[:, None, None]
+    std_c = std[:, None, None]
     if cfg.normalize is NormalizeMode.MEAN_STD:
-        t = (t * (1.0 / 255.0) - mean) / std
+        t = (t * (1.0 / 255.0) - mean_c) / std_c
     else:
         t = t * (1.0 / 255.0)
     if cfg.bgr_output:
-        t = t[..., ::-1]
+        t = t[::-1]
 
     if cfg.resize_mode is ResizeMode.LETTERBOX:
-        canvas = jnp.full((out_h, out_w, 3), cfg.pad_value, jnp.float32)
+        canvas = jnp.full((3, out_h, out_w), cfg.pad_value, jnp.float32)
         if cfg.normalize is NormalizeMode.MEAN_STD:
-            canvas = (canvas - mean) / std
-        t = jax.lax.dynamic_update_slice(canvas, t, (pad_top, pad_left, 0))
+            canvas = (canvas - mean_c) / std_c
+        t = jax.lax.dynamic_update_slice(canvas, t, (0, pad_top, pad_left))
 
-    return jnp.transpose(t, (2, 0, 1))[None]  # (1, 3, H, W)
+    return t[None]  # (1, 3, H, W)
 
 
 def preprocess_nv12(

@@ -219,8 +219,10 @@ def warp_affine_shear(
     # canvas holds the content diagonal D plus intermediate shear
     # excursions: between the shears of a |θ|≤45° rotation the content
     # passes through Sx(±tan 22.5°) whose largest singular value is
-    # ~1.23, so 1.5·D + margin covers intermediates and roundoff
-    c = _round_up(int(math.ceil(1.5 * math.hypot(max(h, new_h),
+    # ~1.23, so 1.3·D + margin covers intermediates and roundoff.
+    # Canvas area is the dominant cost (every pass touches c²) — keep
+    # the bound tight: 1.5 → 1.3 alone is a 1.3× speedup at 1080p.
+    c = _round_up(int(math.ceil(1.3 * math.hypot(max(h, new_h),
                                                  max(w, new_w)))) + 64,
                   256)
     oy = (c - h) // 2

@@ -29,7 +29,11 @@ class TestFusedPreprocessPallas:
         got = np.asarray(pk.fused_preprocess_pallas(
             img, 64, 64, mean, std))
         assert got.shape == (3, 64, 64)
-        np.testing.assert_allclose(got, ref, atol=1e-5)
+        # the XLA path runs its MXU passes in bf16 (u8 inputs exact,
+        # weight rounding ≤ 1 u8 LSB — ops/preprocess.py); the Pallas
+        # kernel is full f32, so compare within the documented corridor
+        # (1 LSB = 1/255/std ≈ 0.0175 in normalized units)
+        np.testing.assert_allclose(got, ref, atol=0.02)
 
     def test_unit_scale(self, rng):
         img = jnp.asarray(rng.integers(0, 256, (64, 128, 3), np.uint8))
