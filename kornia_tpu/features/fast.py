@@ -110,6 +110,24 @@ def topk_keypoints(score_map: jax.Array, k: int) -> FastKeypoints:
     )
 
 
+def _score_dispatch(gray, threshold, arc_length):
+    """fast_score with the backend-appropriate kernel: the Pallas VMEM
+    stencil on TPU (the XLA lowering materializes the 16-ring (16, H, W)
+    stack through HBM — ~3.5 ms/threshold at 1080p vs ~0.3 ms);
+    KORNIA_TPU_FAST=xla|pallas overrides (reference KORNIA_FAST_NEON
+    convention, fast.rs:200)."""
+    import jax
+
+    from kornia_tpu.utils.tracing import env_variant
+
+    default = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if env_variant("fast", default) == "pallas":
+        from kornia_tpu.ops.pallas_kernels import fast_score_pallas
+
+        return fast_score_pallas(gray, threshold, arc_length)
+    return fast_score(gray, threshold, arc_length)
+
+
 def fast_detect(
     gray: jax.Array,
     threshold: float = 10.0,
@@ -127,17 +145,7 @@ def fast_detect(
     reference's env-gated kernel-variant convention (KORNIA_FAST_NEON,
     fast.rs:200).
     """
-    import jax
-
-    from kornia_tpu.utils.tracing import env_variant
-
-    default = "pallas" if jax.default_backend() == "tpu" else "xla"
-    if env_variant("fast", default) == "pallas":
-        from kornia_tpu.ops.pallas_kernels import fast_score_pallas
-
-        s = fast_score_pallas(gray, threshold, arc_length)
-    else:
-        s = fast_score(gray, threshold, arc_length)
+    s = _score_dispatch(gray, threshold, arc_length)
     if nms:
         s = nms_maxpool(s)
     return topk_keypoints(s, max_keypoints)
@@ -157,8 +165,8 @@ def fast_detect_cells(
     a per-cell top-k enforces spatial uniformity (the quadtree contract).
     """
     h, w = gray.shape
-    s_hi = fast_score(gray, threshold_high, arc_length)
-    s_lo = fast_score(gray, threshold_low, arc_length)
+    s_hi = _score_dispatch(gray, threshold_high, arc_length)
+    s_lo = _score_dispatch(gray, threshold_low, arc_length)
     s_hi = nms_maxpool(s_hi)
     s_lo = nms_maxpool(s_lo)
 
