@@ -407,7 +407,9 @@ def sim3_log(g: jax.Array) -> jax.Array:
     # invert W numerically-stable via solve (3×3)
     xi_rot = jnp.concatenate([jnp.zeros_like(w), w, sigma[..., None]], axis=-1)
     W = _sim3_W(w, sigma)
-    rho = jnp.linalg.solve(W, g[..., 4:7][..., :, None])[..., 0]
+    from kornia_tpu.geometry.linalg import inv3x3
+
+    rho = jnp.einsum("...ij,...j->...i", inv3x3(W), g[..., 4:7])
     return jnp.concatenate([rho, w, sigma[..., None]], axis=-1)
 
 

@@ -13,10 +13,143 @@ import jax
 import jax.numpy as jnp
 
 
+def eigh3x3(s: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Full closed-form eigendecomposition of symmetric (..., 3, 3):
+    (evals ascending (..., 3), evecs (..., 3, 3) columns).
+
+    Cardano roots + Cayley–Hamilton column extraction, robust to one
+    repeated eigenvalue pair (the extraction for the isolated eigenvalue
+    stays well-conditioned; the middle vector is the cross product).
+    Batched XLA eigh runs at scalar rate on TPU (PERF_NOTES.md) — this
+    is pure vector arithmetic, mirroring the reference's analytic SVD3
+    (kornia-algebra svd.rs:457) rationale on NEON.
+    """
+    import numpy as np
+
+    q = jnp.trace(s, axis1=-2, axis2=-1) / 3.0
+    p1 = s[..., 0, 1] ** 2 + s[..., 0, 2] ** 2 + s[..., 1, 2] ** 2
+    dif = jnp.stack([s[..., 0, 0] - q, s[..., 1, 1] - q,
+                     s[..., 2, 2] - q], axis=-1)
+    p2 = jnp.sum(dif * dif, axis=-1) + 2.0 * p1
+    p = jnp.sqrt(jnp.maximum(p2 / 6.0, 1e-30))
+    eye = np.eye(3, dtype=np.float32)
+    b = (s - q[..., None, None] * eye) / p[..., None, None]
+    det_b = (b[..., 0, 0] * (b[..., 1, 1] * b[..., 2, 2]
+                             - b[..., 1, 2] * b[..., 2, 1])
+             - b[..., 0, 1] * (b[..., 1, 0] * b[..., 2, 2]
+                               - b[..., 1, 2] * b[..., 2, 0])
+             + b[..., 0, 2] * (b[..., 1, 0] * b[..., 2, 1]
+                               - b[..., 1, 1] * b[..., 2, 0]))
+    r = jnp.clip(det_b / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    lam1 = q + 2.0 * p * jnp.cos(phi)                       # largest
+    lam3 = q + 2.0 * p * jnp.cos(phi + 2.0 * np.pi / 3.0)   # smallest
+    lam2 = 3.0 * q - lam1 - lam3
+
+    def extract(la, lb):
+        # columns of (S − λa)(S − λb) ∝ the remaining eigenvector
+        m = ((s - la[..., None, None] * eye)
+             @ (s - lb[..., None, None] * eye))
+        nrm2 = jnp.sum(m * m, axis=-2)
+        j = jnp.argmax(nrm2, axis=-1)
+        col = jnp.take_along_axis(
+            m, j[..., None, None].repeat(3, axis=-2), axis=-1)[..., 0]
+        col = jnp.where((p2 > 1e-24)[..., None], col,
+                        np.asarray([1.0, 0.0, 0.0], np.float32))
+        return col / jnp.maximum(
+            jnp.linalg.norm(col, axis=-1, keepdims=True), 1e-30)
+
+    v3 = extract(lam1, lam2)         # smallest (isolated unless λ2≈λ3)
+    v1 = extract(lam2, lam3)         # largest (garbage when λ1≈λ2 — but
+    # then ANY vector ⊥ v3 is an eigenvector, so orthogonalizing against
+    # v3 with a perpendicular fallback is always valid)
+    v1 = v1 - jnp.sum(v1 * v3, axis=-1, keepdims=True) * v3
+    n1 = jnp.linalg.norm(v1, axis=-1, keepdims=True)
+    v1 = jnp.where(n1 > 1e-6, v1 / jnp.maximum(n1, 1e-30), _perp(v3))
+    v2 = jnp.cross(v3, v1)
+    v2 = v2 / jnp.maximum(jnp.linalg.norm(v2, axis=-1, keepdims=True),
+                          1e-30)
+    evecs = jnp.stack([v3, v2, v1], axis=-1)   # columns, ascending
+    evals = jnp.stack([lam3, lam2, lam1], axis=-1)
+    return evals, evecs
+
+
+def _perp(v: jax.Array) -> jax.Array:
+    """A unit vector orthogonal to each (..., 3) unit vector."""
+    import numpy as np
+
+    ex = np.asarray([1.0, 0.0, 0.0], np.float32)
+    ey = np.asarray([0.0, 1.0, 0.0], np.float32)
+    alt = jnp.where((jnp.abs(v[..., 0:1]) < 0.9), ex, ey)
+    w = jnp.cross(v, alt)
+    return w / jnp.maximum(jnp.linalg.norm(w, axis=-1, keepdims=True),
+                           1e-30)
+
+
 def svd3(m: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Batched 3×3 SVD. The reference ships an analytic SVD3 (svd.rs:457)
-    for scalar speed; XLA's QR-iteration SVD is fine on TPU and batched."""
-    return jnp.linalg.svd(m, full_matrices=True)
+    """Batched closed-form 3×3 SVD (descending σ), (u, s, vt).
+
+    V from eigh3x3(MᵀM), σ = √λ, U = MVΣ⁻¹ with the degenerate third
+    column rebuilt via cross product (rank-2 inputs — Procrustes/
+    rank-projection uses). The reference ships the same analytic-SVD3
+    design for scalar speed (svd.rs:457); on TPU it dodges the
+    scalar-rate batched LAPACK kernel.
+    """
+    mtm = jnp.swapaxes(m, -1, -2) @ m
+    evals, v = eigh3x3(mtm)
+    # descending order
+    sig = jnp.sqrt(jnp.maximum(evals[..., ::-1], 0.0))      # (..., 3)
+    v = v[..., ::-1]                                        # columns desc
+    u = m @ v
+    s0 = jnp.maximum(sig[..., 0], 1e-20)
+    # column-wise with rank fallbacks: σ ratios below √eps(f32) ≈ 1e-3
+    # make the quotient direction noise — rebuild orthogonally instead
+    u1 = u[..., 0] / jnp.maximum(sig[..., 0:1], 1e-20)
+    u1 = u1 / jnp.maximum(jnp.linalg.norm(u1, axis=-1, keepdims=True),
+                          1e-30)
+    u2 = u[..., 1] / jnp.maximum(sig[..., 1:2], 1e-20)
+    u2 = u2 - jnp.sum(u2 * u1, axis=-1, keepdims=True) * u1
+    n2 = jnp.linalg.norm(u2, axis=-1, keepdims=True)
+    ok2 = (sig[..., 1] > 1e-3 * s0)[..., None] & (n2 > 1e-6)
+    u2 = jnp.where(ok2, u2 / jnp.maximum(n2, 1e-30), _perp(u1))
+    u3_direct = u[..., 2] / jnp.maximum(sig[..., 2:3], 1e-20)
+    u3_cross = jnp.cross(u1, u2)
+    healthy3 = (sig[..., 2] > 1e-3 * s0)[..., None]
+    u3 = jnp.where(healthy3, u3_direct, u3_cross)
+    u3 = u3 / jnp.maximum(jnp.linalg.norm(u3, axis=-1, keepdims=True),
+                          1e-30)
+    u = jnp.stack([u1, u2, u3], axis=-1)
+    return u, sig, jnp.swapaxes(v, -1, -2)
+
+
+def inv4x4(m: jax.Array) -> jax.Array:
+    """Closed-form adjugate inverse of (..., 4, 4) — cofactor arithmetic
+    only; batched jnp.linalg.inv is scalar-rate on TPU."""
+
+    def det3(r, c):
+        r0, r1, r2 = r
+        c0, c1, c2 = c
+        return (m[..., r0, c0] * (m[..., r1, c1] * m[..., r2, c2]
+                                  - m[..., r1, c2] * m[..., r2, c1])
+                - m[..., r0, c1] * (m[..., r1, c0] * m[..., r2, c2]
+                                    - m[..., r1, c2] * m[..., r2, c0])
+                + m[..., r0, c2] * (m[..., r1, c0] * m[..., r2, c1]
+                                    - m[..., r1, c1] * m[..., r2, c0]))
+
+    idx = [0, 1, 2, 3]
+    cols = []
+    for j in range(4):
+        col = []
+        for i in range(4):
+            rows3 = tuple(r for r in idx if r != j)
+            cols3 = tuple(c for c in idx if c != i)
+            col.append(((-1.0) ** (i + j)) * det3(rows3, cols3))
+        cols.append(jnp.stack(col, axis=-1))
+    adj = jnp.stack(cols, axis=-1)                          # (..., 4, 4)
+    det = sum(m[..., 0, j] * adj[..., j, 0] for j in range(4))
+    det = jnp.where(jnp.abs(det) < 1e-30,
+                    jnp.where(det < 0, -1e-30, 1e-30), det)
+    return adj / det[..., None, None]
 
 
 def rigid_transform_3d(
@@ -39,7 +172,7 @@ def rigid_transform_3d(
         (dc * w[:, None]), sc, (((0,), (0,)), ((), ())),
         precision=jax.lax.Precision.HIGHEST,
     )  # (3, 3)
-    u, s, vt = jnp.linalg.svd(cov)
+    u, s, vt = svd3(cov)
     d = jnp.sign(jnp.linalg.det(u) * jnp.linalg.det(vt))
     diag = jnp.array([1.0, 1.0, 1.0], src.dtype).at[2].multiply(d)
     r = (u * diag[None, :]) @ vt

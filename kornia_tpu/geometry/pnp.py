@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from kornia_tpu.geometry.camera import normalize_points, project_points
-from kornia_tpu.geometry.linalg import rigid_transform_3d
+from kornia_tpu.geometry.linalg import rigid_transform_3d, eigh3x3, inv4x4, svd3
 from kornia_tpu.geometry.ransac import RansacResult, ransac
 
 
@@ -38,7 +38,7 @@ def _control_points(pts: jax.Array, weights: jax.Array) -> jax.Array:
     c = jnp.sum(pts * weights[..., None], axis=-2) / wsum
     centered = (pts - c[..., None, :]) * weights[..., None]
     cov = jnp.einsum("...ni,...nj->...ij", centered, centered) / wsum[..., None]
-    evals, evecs = jnp.linalg.eigh(cov)  # ascending
+    evals, evecs = eigh3x3(cov)  # ascending (closed form)
     scale = jnp.sqrt(jnp.maximum(evals, 1e-12))
     axes = evecs * scale[..., None, :]  # columns scaled
     return jnp.concatenate(
@@ -59,7 +59,7 @@ def _barycentric(pts: jax.Array, ctrl: jax.Array) -> jax.Array:
     ones_p = jnp.ones(pts.shape[:-1] + (1,), pts.dtype)
     ph = jnp.concatenate([pts, ones_p], axis=-1)  # (..., N, 4)
     # alphas = ph @ ch^{-T}
-    chinv = jnp.linalg.inv(jnp.swapaxes(ch, -1, -2))
+    chinv = inv4x4(jnp.swapaxes(ch, -1, -2))
     return jnp.einsum("...ij,...nj->...ni", chinv, ph)
 
 
@@ -157,7 +157,7 @@ def pnp_dlt(
     p = p * sgn[..., None, None]
     # orthogonalize R, recover scale
     m = p[..., :3]
-    um, sm, vtm = jnp.linalg.svd(m)
+    um, sm, vtm = svd3(m)
     scale = jnp.mean(sm, axis=-1)
     r = um @ vtm
     det = jnp.linalg.det(r)

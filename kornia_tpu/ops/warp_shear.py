@@ -306,16 +306,18 @@ def warp_affine_shear(
     canvas = jax.lax.dynamic_update_slice(
         canvas, x.astype(jnp.float32), (oy, ox, 0))
 
-    outs = []
-    for i in range(nch):
-        ch = canvas[:, :, i]
+    def one_channel(ch):
         ch = _rot_pass(ch, m1, o1, c)                    # P1
         ch = _scale_x(ch, s1)                            # P2 (x)
         chT = _scale_x(ch.T, s2m).T                      # P2 (y)
         ch = jnp.where(sgn < 0, chT[::-1, :], chT)       # P2 flip
-        ch = _rot_pass(ch, m3, o3, c)                    # P3
-        outs.append(ch)
-    out_c = jnp.stack(outs, axis=-1)
+        return _rot_pass(ch, m3, o3, c)                  # P3
+
+    # vmap over channels: one batched program (the scale einsums become
+    # batch matmuls, the Pallas shear grids gain a channel dimension)
+    # instead of nch sequential pass chains
+    out_c = jnp.moveaxis(
+        jax.vmap(one_channel)(jnp.moveaxis(canvas, -1, 0)), 0, -1)
     out = jax.lax.dynamic_slice(out_c, (crop_y, crop_x, 0),
                                 (new_h, new_w, nch))
     if in_dtype == jnp.uint8:

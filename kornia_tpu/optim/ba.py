@@ -30,6 +30,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from kornia_tpu.geometry.linalg import inv3x3
+
 from kornia_tpu.geometry import liegroup as lg
 from kornia_tpu.optim.losses import LOSSES
 
@@ -222,7 +224,7 @@ def reduce_camera_system(
     active_pt = (~problem.fixed_points) & (problem.obs_by_point_mask.any(axis=1))
     v_inv = jnp.where(
         active_pt[:, None, None],
-        jnp.linalg.inv(v_damped + (~active_pt)[:, None, None] * eye3),
+        inv3x3(v_damped + (~active_pt)[:, None, None] * eye3),
         0.0,
     )  # (N, 3, 3)
 

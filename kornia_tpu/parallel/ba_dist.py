@@ -31,6 +31,8 @@ from typing import NamedTuple, Tuple
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+from kornia_tpu.geometry.linalg import inv3x3
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
@@ -188,7 +190,7 @@ def bundle_adjust_schur_dist(
             active = (~fixed_points_l) & bym.any(axis=1)
             v_inv = jnp.where(
                 active[:, None, None],
-                jnp.linalg.inv(v_damped + (~active)[:, None, None] * eye3),
+                inv3x3(v_damped + (~active)[:, None, None] * eye3),
                 0.0,
             )
             y_b = jnp.einsum("mij,mjk->mik", b_b, v_inv[obs_pt], precision=_HI)

@@ -385,3 +385,52 @@ class TestEssential5pt:
             abs(float(t_est @ t_true)), -1, 1)))
         assert rot_err < 0.5
         assert t_err < 3.0
+
+
+class TestClosedFormLinalg:
+    """Vectorized closed forms that replace scalar-rate batched LAPACK
+    ops in the RANSAC hot path (PERF_NOTES.md small-matrix rule)."""
+
+    def test_det_lu_matches_numpy(self):
+        rng = np.random.default_rng(0)
+        m = rng.standard_normal((200, 8, 8)).astype(np.float32)
+        got = np.asarray(epi._det_lu(jnp.asarray(m)))
+        ref = np.linalg.det(m)
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=1e-5)
+
+    def test_det_lu_singular(self):
+        m = np.zeros((2, 4, 4), np.float32)
+        m[0] = np.eye(4)
+        m[1, 0] = [1, 2, 3, 4]
+        m[1, 1] = [2, 4, 6, 8]   # dependent row → det 0
+        m[1, 2] = [0, 1, 0, 0]
+        m[1, 3] = [0, 0, 1, 0]
+        got = np.asarray(epi._det_lu(jnp.asarray(m)))
+        np.testing.assert_allclose(got, [1.0, 0.0], atol=1e-5)
+
+    def test_nullvec_cramer_kills_minimal_system(self):
+        rng = np.random.default_rng(1)
+        a = rng.standard_normal((128, 8, 9)).astype(np.float32)
+        v = np.asarray(epi._nullvec_cramer(jnp.asarray(a)))
+        np.testing.assert_allclose(np.linalg.norm(v, axis=1), 1.0,
+                                   atol=1e-5)
+        res = np.abs(np.einsum("bij,bj->bi", a, v)).max()
+        assert res < 1e-4, res
+
+    def test_eigvec_min_sym3(self):
+        rng = np.random.default_rng(2)
+        s = rng.standard_normal((300, 3, 3)).astype(np.float32)
+        s = s @ s.transpose(0, 2, 1)
+        v = np.asarray(epi._eigvec_min_sym3(jnp.asarray(s)))
+        _, vecs = np.linalg.eigh(s)
+        align = np.abs(np.sum(v * vecs[:, :, 0], axis=1))
+        assert align.min() > 0.999
+
+    def test_inv3x3(self):
+        from kornia_tpu.geometry.linalg import inv3x3
+
+        rng = np.random.default_rng(3)
+        m = rng.standard_normal((200, 3, 3)).astype(np.float32)
+        got = np.asarray(inv3x3(jnp.asarray(m)))
+        rel = np.abs(got - np.linalg.inv(m)) / (np.abs(np.linalg.inv(m)) + 1e-3)
+        assert rel.max() < 1e-3
