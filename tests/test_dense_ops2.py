@@ -285,3 +285,39 @@ class TestStereoRectify:
         gx, gy = np.meshgrid(np.arange(64), np.arange(48))
         np.testing.assert_allclose(np.asarray(mx), gx, atol=1e-4)
         np.testing.assert_allclose(np.asarray(my), gy, atol=1e-4)
+
+
+class TestHistogram:
+    """Compare-and-reduce histogram (scatter-free — ops/histogram.py)."""
+
+    def test_u8_exact_vs_bincount(self):
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 256, (123, 217), np.uint8)
+        from kornia_tpu.ops.histogram import histogram_u8
+
+        got = np.asarray(histogram_u8(jnp.asarray(img)))
+        np.testing.assert_array_equal(
+            got, np.bincount(img.ravel(), minlength=256))
+        assert got.sum() == img.size
+
+    def test_u8_rebinned(self):
+        rng = np.random.default_rng(1)
+        img = rng.integers(0, 256, (64, 64), np.uint8)
+        from kornia_tpu.ops.histogram import histogram_u8
+
+        got = np.asarray(histogram_u8(jnp.asarray(img), 32))
+        ref = np.bincount((img.ravel().astype(np.int64) * 32) // 256,
+                          minlength=32)
+        np.testing.assert_array_equal(got, ref)
+
+    def test_float_bins(self):
+        rng = np.random.default_rng(2)
+        x = rng.random((100, 77)).astype(np.float32)
+        from kornia_tpu.ops.histogram import histogram
+
+        got = np.asarray(histogram(jnp.asarray(x), 64))
+        ref = np.bincount(
+            np.clip((x.ravel() * 64).astype(np.int64), 0, 63),
+            minlength=64)
+        np.testing.assert_array_equal(got, ref)
+        assert got.sum() == x.size
