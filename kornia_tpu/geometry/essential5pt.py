@@ -86,9 +86,31 @@ def _nullspace4(x1n: jax.Array, x2n: jax.Array) -> jax.Array:
     p2 = homogenize(x2n)
     q = (p2[..., :, None] * p1[..., None, :]).reshape(
         x1n.shape[:-2] + (5, 9))
-    qtq = jnp.einsum("...ni,...nj->...ij", q, q, precision=_HI)
-    _, vecs = jnp.linalg.eigh(qtq)
-    basis = jnp.swapaxes(vecs[..., :4], -1, -2)  # (..., 4, 9) ascending
+    # Null-space basis WITHOUT a batched 9×9 eigh (scalar rate on TPU):
+    # project a fixed (9, 4) seed through P = I − Qᵀ(QQᵀ)⁻¹Q and
+    # Gram-Schmidt — any basis of null(Q) parameterizes Nistér's
+    # E = x·E1 + y·E2 + z·E3 + E4 equally well.
+    from kornia_tpu.geometry.linalg import solve_unrolled
+
+    qqt = jnp.einsum("...ni,...mi->...nm", q, q, precision=_HI)
+    ridge = 1e-8 * jnp.trace(qqt, axis1=-2, axis2=-1)[..., None, None]
+    eye5 = np.eye(5, dtype=np.float32)
+    x_sol = solve_unrolled(qqt + ridge * eye5, q)       # (..., 5, 9)
+    rng_seed = np.random.default_rng(11)
+    r_fixed = np.linalg.qr(rng_seed.standard_normal((9, 4)))[0].astype(
+        np.float32)
+    xr = jnp.einsum("...ni,ij->...nj", x_sol, r_fixed)  # X·R (..., 5, 4)
+    # P·R = R − Qᵀ·(X·R)
+    pr = r_fixed - jnp.einsum("...ni,...nj->...ij", q, xr)
+    cols = []
+    for j in range(4):                                  # Gram-Schmidt
+        v = pr[..., :, j]
+        for u in cols:
+            v = v - jnp.sum(v * u, axis=-1, keepdims=True) * u
+        v = v / jnp.maximum(
+            jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-20)
+        cols.append(v)
+    basis = jnp.stack(cols, axis=-2)                    # (..., 4, 9)
     return basis.reshape(x1n.shape[:-2] + (4, 3, 3))
 
 
@@ -172,8 +194,24 @@ def essential_5pt(
     c_at = jnp.einsum("...rm,...km,mx->...krx", coef, zpow, sel,
                       precision=_HI)              # (..., 10 roots, 10, 10)
     ctc = jnp.einsum("...rx,...ry->...xy", c_at, c_at, precision=_HI)
-    _, vecs = jnp.linalg.eigh(ctc)
-    mvec = vecs[..., 0]                           # (..., 10 roots, 10)
+    # smallest eigvec of 10×10 CᵀC per root without batched eigh
+    # (5120 scalar-rate eighs ≈ 100 ms): C(z) is rank-9 at a true root,
+    # so 2 rounds of ridged inverse iteration converge to the null
+    # direction (unrolled Gauss-Jordan solve, vector rate)
+    from kornia_tpu.geometry.linalg import solve_unrolled
+
+    ridge = (1e-9 * jnp.trace(ctc, axis1=-2, axis2=-1)
+             )[..., None, None]
+    eye10 = np.eye(10, dtype=np.float32)
+    m_r = ctc + ridge * eye10
+    v = jnp.broadcast_to(
+        np.full((10,), 1.0 / np.sqrt(10.0), np.float32),
+        ctc.shape[:-1])
+    for _ in range(3):
+        v = solve_unrolled(m_r, v[..., None])[..., 0]
+        v = v / jnp.maximum(
+            jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-30)
+    mvec = v                                      # (..., 10 roots, 10)
     denom = mvec[..., _1_IDX]
     denom = jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom)
     x = mvec[..., _X_IDX] / denom

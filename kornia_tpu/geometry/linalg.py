@@ -298,3 +298,38 @@ def solve_quartic(coeffs: jax.Array) -> jax.Array:
         dp = jnp.where(jnp.abs(dp) < 1e-12, 1e-12, dp)
         roots = x - p / dp
     return roots
+
+
+def solve_unrolled(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Solve a x = b for small static n via unrolled partial-pivot
+    Gauss-Jordan, fully vectorized over the batch. a: (..., n, n),
+    b: (..., n, k) → (..., n, k).
+
+    Batched `jnp.linalg.solve` lowers to a scalar-rate LU kernel on TPU
+    (PERF_NOTES.md small-matrix rule); this is select/elementwise only.
+    """
+    import numpy as np
+
+    n = a.shape[-1]
+    aug = jnp.concatenate([a, b], axis=-1)          # (..., n, n+k)
+    rows = np.arange(n)
+    for c in range(n):
+        col = aug[..., :, c]
+        cand = jnp.where(rows >= c, jnp.abs(col), -1.0)
+        p = jnp.argmax(cand, axis=-1)
+        e_p = (rows == p[..., None]).astype(aug.dtype)
+        e_c = jnp.zeros((n,), aug.dtype).at[c].set(1.0)
+        row_c = aug[..., c, :]
+        row_p = jnp.einsum("...r,...rk->...k", e_p, aug)
+        aug = (aug
+               - e_c[..., :, None] * (row_c - row_p)[..., None, :]
+               - e_p[..., None] * (row_p - row_c)[..., None, :])
+        piv = aug[..., c, c]
+        safe = jnp.where(jnp.abs(piv) > 1e-30, piv,
+                         jnp.where(piv < 0, -1e-30, 1e-30))
+        pivot_row = aug[..., c, :] / safe[..., None]
+        factor = aug[..., :, c] * (1.0 - e_c)       # eliminate all ≠ c
+        aug = aug - factor[..., None] * pivot_row[..., None, :]
+        aug = aug - e_c[..., :, None] * (aug[..., c, :]
+                                         - pivot_row)[..., None, :]
+    return aug[..., :, a.shape[-1]:]
