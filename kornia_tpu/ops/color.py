@@ -401,7 +401,7 @@ def sepia(rgb: jax.Array) -> jax.Array:
 # --------------------------------------------------------------------------
 
 
-def _viridis_lut() -> jax.Array:
+def _viridis_lut():
     """Viridis 256-entry LUT computed from the published polynomial fit."""
     import numpy as np
 
@@ -425,10 +425,10 @@ def _viridis_lut() -> jax.Array:
     xi = np.linspace(0.0, 1.0, 256)
     xp = np.linspace(0.0, 1.0, len(anchors))
     lut = np.stack([np.interp(xi, xp, anchors[:, c]) for c in range(3)], axis=-1)
-    return jnp.asarray((lut * 255.0).round().astype(np.uint8))
+    return (lut * 255.0).round().astype(np.uint8)
 
 
-def _jet_lut() -> jax.Array:
+def _jet_lut():
     """OpenCV-style jet colormap from the piecewise-linear formula."""
     import numpy as np
 
@@ -441,10 +441,10 @@ def _jet_lut() -> jax.Array:
     g = ramp(4.0 * (x - 0.5))
     b = ramp(4.0 * (x - 0.25))
     lut = np.stack([r, g, b], -1)
-    return jnp.asarray((lut * 255.0).round().astype(np.uint8))
+    return (lut * 255.0).round().astype(np.uint8)
 
 
-def _turbo_lut() -> jax.Array:
+def _turbo_lut():
     """Google Turbo colormap (published 6th-order polynomial fit)."""
     import numpy as np
 
@@ -457,10 +457,10 @@ def _turbo_lut() -> jax.Array:
     kb = np.array([0.10667330, 12.64194608, -60.58204836, 110.36276771,
                    -89.90310912, 27.34824973])
     lut = np.stack([v @ kr, v @ kg, v @ kb], -1).clip(0, 1)
-    return jnp.asarray((lut * 255.0).round().astype(np.uint8))
+    return (lut * 255.0).round().astype(np.uint8)
 
 
-def _hot_lut() -> jax.Array:
+def _hot_lut():
     import numpy as np
 
     x = np.linspace(0.0, 1.0, 256)
@@ -468,14 +468,14 @@ def _hot_lut() -> jax.Array:
     g = np.clip((x - 0.4) / 0.4, 0, 1)
     b = np.clip((x - 0.8) / 0.2, 0, 1)
     lut = np.stack([r, g, b], -1)
-    return jnp.asarray((lut * 255.0).round().astype(np.uint8))
+    return (lut * 255.0).round().astype(np.uint8)
 
 
-def _gray_lut() -> jax.Array:
+def _gray_lut():
     import numpy as np
 
     x = np.arange(256, dtype=np.uint8)
-    return jnp.asarray(np.stack([x, x, x], -1))
+    return np.stack([x, x, x], -1)
 
 
 _COLORMAPS = {}
@@ -489,14 +489,21 @@ _LUT_BUILDERS = {
 
 
 def apply_colormap(gray: jax.Array, name: str = "viridis") -> jax.Array:
-    """Map (..., H, W) or (..., H, W, 1) u8/f32 gray to RGB u8 via LUT."""
+    """Map (..., H, W) or (..., H, W, 1) u8/f32 gray to RGB u8 via LUT.
+
+    The LUT cache holds HOST numpy arrays only: a cached device array
+    would be captured as a jit closure constant, which costs ~34 ms per
+    dispatch through the axon tunnel and degrades every later dispatch
+    in the process (PERF_NOTES.md "captured-device-constant poison").
+    The numpy LUT is folded in-trace for free.
+    """
     if name not in _COLORMAPS:
         if name in _LUT_BUILDERS:
-            _COLORMAPS[name] = _LUT_BUILDERS[name]()
+            _COLORMAPS[name] = _LUT_BUILDERS[name]()   # host numpy
         else:
             raise ValueError(f"unknown colormap: {name}; "
                              f"available: {sorted(_LUT_BUILDERS)}")
-    lut = _COLORMAPS[name]
+    lut = jnp.asarray(_COLORMAPS[name])
     if gray.ndim >= 3 and gray.shape[-1] == 1:
         gray = gray[..., 0]
     if gray.dtype == jnp.uint8:
