@@ -55,19 +55,27 @@ def warp_affine(
     mode: str = "bilinear",
     padding_mode: str = "zeros",
     fill_value: float = 0.0,
-    method: str = "gather",
+    method: str = "pallas",
 ) -> jax.Array:
     """Warp (H, W, C) or (H, W) by the 2×3 matrix ``m`` into (new_h, new_w).
 
     ``m`` maps src→dst like cv2.warpAffine.
 
-    method "gather" (default) is the exact single-pass bilinear warp —
-    cv2-corridor accurate but TPU gathers run at scalar rate (~40 ms at
-    1080p). method "shear" routes through ops.warp_shear (SVD → shear
-    passes + band matmuls, zero gathers): 15× faster on TPU with
-    multi-pass interpolation (≈3% max deviation from single-pass
-    bilinear on smooth content; bilinear mode, zero border only).
+    method "pallas" (default) is the exact single-pass bilinear warp as
+    a vector-rate Pallas chunk kernel (ops.warp_pallas): ~1 ms at 1080p
+    with a scalar-gather fallback for maps outside the static window
+    capacity. method "gather" is the same math as one XLA gather —
+    exact but scalar-rate on TPU (~60 ms at 1080p). method "shear"
+    routes through ops.warp_shear (SVD → shear passes + band matmuls):
+    multi-pass interpolation, ≈3% max deviation, bilinear/zeros only —
+    kept for A/B comparison.
     """
+    if method == "pallas" and mode in ("bilinear", "nearest"):
+        from kornia_tpu.ops.warp_pallas import warp_affine_exact
+
+        return warp_affine_exact(img, m, dsize, mode=mode,
+                                 padding_mode=padding_mode,
+                                 fill_value=fill_value)
     if method == "shear" and mode == "bilinear" and padding_mode == "zeros":
         from kornia_tpu.ops.warp_shear import warp_affine_shear
 
@@ -91,8 +99,20 @@ def warp_perspective(
     mode: str = "bilinear",
     padding_mode: str = "zeros",
     fill_value: float = 0.0,
+    method: str = "pallas",
 ) -> jax.Array:
-    """Warp by a 3×3 homography (cv2.warpPerspective semantics)."""
+    """Warp by a 3×3 homography (cv2.warpPerspective semantics).
+
+    method "pallas" (default) rides the exact vector-rate chunk kernel
+    (ops.warp_pallas) with a gather fallback for extreme horizons;
+    "gather" forces the scalar-rate XLA gather path.
+    """
+    if method == "pallas" and mode in ("bilinear", "nearest"):
+        from kornia_tpu.ops.warp_pallas import warp_perspective_exact
+
+        return warp_perspective_exact(img, m, dsize, mode=mode,
+                                      padding_mode=padding_mode,
+                                      fill_value=fill_value)
     new_h, new_w = dsize
     squeeze = img.ndim == 2
     x = img[..., None] if squeeze else img
