@@ -193,12 +193,15 @@ def solve_pnp_ransac(
     lo_iters: int = 2,
     method: str = "epnp",
     scoring: str = "msac",
+    refine_iters: int = 10,
 ) -> Tuple[PnPResult, jax.Array, jax.Array]:
     """RANSAC PnP (reference solve_pnp_ransac, pnp/ransac.rs:84;
     method dispatch = reference PnPMethod, pnp/mod.rs:121).
 
     method "epnp" (default) or "p3p" (Grunert minimal solver, 4-point
-    samples, EPnP-weighted local optimization). Returns
+    samples, EPnP-weighted local optimization). The winning pose gets a
+    reprojection-cost LM polish over the inliers (reference
+    pnp/refine.rs:46-75; refine_iters=0 disables). Returns
     (pose, inlier_mask, n_inliers).
     """
     n = world.shape[0]
@@ -232,7 +235,18 @@ def solve_pnp_ransac(
         scoring=scoring,
     )
     pose = res.model
-    return pose, res.inliers, res.n_inliers
+    inliers, n_inliers = res.inliers, res.n_inliers
+    if refine_iters > 0:
+        from kornia_tpu.geometry.refine import refine_pose_reprojection
+
+        r_ref, t_ref = refine_pose_reprojection(
+            pose.rotation, pose.translation, world, pixels, k,
+            inliers, iters=refine_iters, threshold_px=threshold_px)
+        pose = PnPResult(rotation=r_ref, translation=t_ref)
+        sq = reprojection_residuals(pose, world, pixels, k)
+        inliers = mask & (sq < threshold_px ** 2)
+        n_inliers = jnp.sum(inliers).astype(jnp.int32)
+    return pose, inliers, n_inliers
 
 
 # ---------------------------------------------------------------------------

@@ -41,6 +41,10 @@ class TwoViewParams:
     # EssentialNister5ptSolver — calibrated, 6-point samples with
     # 6th-point disambiguation)
     solver: str = "8pt"
+    # Sampson-cost LM iterations on the winning pose (reference
+    # LmRefiner, twoview.rs:336; 0 disables). Runs as two annealed
+    # phases (2*tau then tau).
+    refine_iters: int = 12
 
 
 class TwoViewResult(NamedTuple):
@@ -153,6 +157,25 @@ def estimate_relative_pose(
     winner = jnp.argmax(votes)
     r_best = rs[winner]
     t_best = ts[winner]
+
+    # --- Sampson-cost LM refinement of the winner (twoview.rs:336) ---
+    if params.refine_iters > 0:
+        from kornia_tpu.geometry.refine import refine_pose_sampson
+
+        r_best, t_best = refine_pose_sampson(
+            r_best, t_best, x1, x2, k1, k2, inliers,
+            iters=params.refine_iters,
+            threshold_px=params.threshold_px)
+        # re-derive the epipolar inlier set from the refined pose
+        ex = jnp.stack([
+            jnp.stack([0.0 * t_best[0], -t_best[2], t_best[1]]),
+            jnp.stack([t_best[2], 0.0 * t_best[0], -t_best[0]]),
+            jnp.stack([-t_best[1], t_best[0], 0.0 * t_best[0]]),
+        ])
+        f_ref = (jnp.linalg.inv(k2).T @ (ex @ r_best)
+                 @ jnp.linalg.inv(k1))
+        sq = epi.sampson_distance(f_ref, x1, x2)
+        inliers = mask & (sq < params.threshold_px ** 2)
 
     # --- triangulate inliers with the winning pose ---
     eye3 = jnp.eye(3, dtype=x1.dtype)

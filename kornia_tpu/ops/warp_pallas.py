@@ -312,7 +312,8 @@ def _prepare_and_run(src: jax.Array, map_x: jax.Array, map_y: jax.Array,
 
     # all-invalid chunks park at base 0 (their output is fill anyway);
     # letting them clip to the array bottom would wreck the band spans
-    rbase = jnp.where(rmin > 1e8, 0,
+    parked = rmin > 1e8
+    rbase = jnp.where(parked, 0,
                       jnp.clip(rmin, 0, hp - slice_r)).astype(jnp.int32)
     rb8 = (rbase // 8) * 8
     delta = rbase - rb8
@@ -352,13 +353,26 @@ def _prepare_and_run(src: jax.Array, map_x: jax.Array, map_y: jax.Array,
         cb128 = jnp.pad(cb128, zpad)
     outs = []
     ncr_b = band_dh // 8
+    if pad_r:
+        parked = jnp.pad(parked, ((0, pad_r // 8), (0, 0)),
+                         constant_values=True)
+    big_i = jnp.int32(2 ** 30)
     for b in range(n_bands):
         rb8_b = rb8[b * ncr_b:(b + 1) * ncr_b]
-        band0 = (jnp.clip(jnp.min(rb8_b), 0, hp - hb) // 8) * 8
-        ok = ok & (jnp.max(rb8_b) - band0 + slice_r <= hb)
+        park_b = parked[b * ncr_b:(b + 1) * ncr_b]
+        # parked (all-invalid) chunks must not stretch the band window:
+        # exclude them from the min/max and pin them to the band base;
+        # clamp defensively so an over-capacity chunk (ok=False) can
+        # never make the kernel read outside the band slice.
+        band0 = jnp.min(jnp.where(park_b, big_i, rb8_b))
+        band0 = (jnp.clip(band0, 0, hp - hb) // 8) * 8
+        real_max = jnp.max(jnp.where(park_b, 0, rb8_b))
+        ok = ok & (real_max - band0 + slice_r <= hb)
+        rb8_rel = jnp.clip(jnp.where(park_b, band0, rb8_b) - band0,
+                           0, hb - slice_r)
         src_band = jax.lax.dynamic_slice(
             src_p, (0, band0, 0), (ch, hb, wp))
-        rb_packed = jnp.concatenate([(rb8_b - band0).reshape(-1),
+        rb_packed = jnp.concatenate([rb8_rel.reshape(-1),
                                      delta[b * ncr_b:(b + 1) * ncr_b]
                                      .reshape(-1)])
         out_b = _remap_chunks(

@@ -434,3 +434,106 @@ class TestClosedFormLinalg:
         got = np.asarray(inv3x3(jnp.asarray(m)))
         rel = np.abs(got - np.linalg.inv(m)) / (np.abs(np.linalg.inv(m)) + 1e-3)
         assert rel.max() < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# LM refinement stages (reference twoview.rs:336 LmRefiner,
+# pnp/refine.rs:46) — refinement must IMPROVE the pre-refine estimate
+# ---------------------------------------------------------------------------
+
+
+def _synth_two_view(rng, n=200, noise=0.8):
+    import numpy as np
+    from kornia_tpu.geometry.liegroup import so3_exp_matrix
+    import jax.numpy as jnp
+
+    k = np.asarray([[500.0, 0, 320], [0, 500, 240], [0, 0, 1]], np.float32)
+    pts = rng.uniform([-2, -2, 4], [2, 2, 10], (n, 3)).astype(np.float32)
+    rvec = np.asarray([0.03, -0.2, 0.05], np.float32)
+    r = np.asarray(so3_exp_matrix(jnp.asarray(rvec)))
+    t = np.asarray([0.5, 0.05, -0.1], np.float32)
+    c1 = pts
+    c2 = pts @ r.T + t
+    x1 = (c1[:, :2] / c1[:, 2:]) * [500, 500] + [320, 240]
+    x2 = (c2[:, :2] / c2[:, 2:]) * [500, 500] + [320, 240]
+    x1 += rng.normal(0, noise, x1.shape)
+    x2 += rng.normal(0, noise, x2.shape)
+    return (x1.astype(np.float32), x2.astype(np.float32), k, r,
+            t / np.linalg.norm(t))
+
+
+def _rot_err_deg(r_est, r_true):
+    import numpy as np
+
+    c = (np.trace(np.asarray(r_est).T @ r_true) - 1.0) / 2.0
+    return np.degrees(np.arccos(np.clip(c, -1, 1)))
+
+
+def test_twoview_refine_improves():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from kornia_tpu.geometry.twoview import (
+        estimate_relative_pose, TwoViewParams)
+
+    rng = np.random.default_rng(11)
+    x1, x2, k, r_true, t_true = _synth_two_view(rng)
+    key = jax.random.PRNGKey(0)
+    kj = jnp.asarray(k)
+    base = estimate_relative_pose(
+        key, jnp.asarray(x1), jnp.asarray(x2), kj, kj,
+        params=TwoViewParams(refine_iters=0))
+    ref = estimate_relative_pose(
+        key, jnp.asarray(x1), jnp.asarray(x2), kj, kj,
+        params=TwoViewParams(refine_iters=12))
+    e0 = _rot_err_deg(base.rotation, r_true)
+    e1 = _rot_err_deg(ref.rotation, r_true)
+    t0 = np.degrees(np.arccos(np.clip(
+        abs(np.dot(np.asarray(base.translation), t_true)), -1, 1)))
+    t1 = np.degrees(np.arccos(np.clip(
+        abs(np.dot(np.asarray(ref.translation), t_true)), -1, 1)))
+    assert e1 <= e0 + 1e-3
+    assert e1 < 0.5
+    assert t1 <= t0 + 0.05
+    assert int(ref.n_inliers) > 150
+
+
+def test_pnp_refine_improves():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from kornia_tpu.geometry.pnp import solve_pnp_ransac
+    from kornia_tpu.geometry.liegroup import so3_exp_matrix
+
+    rng = np.random.default_rng(5)
+    k = np.asarray([[500.0, 0, 320], [0, 500, 240], [0, 0, 1]], np.float32)
+    n = 120
+    world = rng.uniform([-2, -2, 4], [2, 2, 10], (n, 3)).astype(np.float32)
+    r = np.asarray(so3_exp_matrix(jnp.asarray([0.1, -0.15, 0.2])))
+    t = np.asarray([0.3, -0.2, 0.5], np.float32)
+    cam = world @ r.T + t
+    px = (cam[:, :2] / cam[:, 2:]) * [500, 500] + [320, 240]
+    px += rng.normal(0, 1.0, px.shape)
+    # 15% outliers
+    out_idx = rng.choice(n, n // 7, replace=False)
+    px[out_idx] += rng.uniform(30, 80, (len(out_idx), 2))
+    key = jax.random.PRNGKey(3)
+    args = (key, jnp.asarray(world), jnp.asarray(px.astype(np.float32)),
+            jnp.asarray(k))
+    pose0, _, _ = solve_pnp_ransac(*args, refine_iters=0)
+    pose1, inl1, n1 = solve_pnp_ransac(*args, refine_iters=10)
+
+    # refinement minimizes robust reprojection cost over inliers —
+    # assert on that objective (rotation alone is noise-limited)
+    def mean_err(pose):
+        from kornia_tpu.geometry.pnp import reprojection_residuals
+        sq = np.asarray(reprojection_residuals(
+            pose, jnp.asarray(world), jnp.asarray(px.astype(np.float32)),
+            jnp.asarray(k)))
+        good = np.ones(n, bool)
+        good[out_idx] = False
+        return np.sqrt(sq[good]).mean()
+
+    assert mean_err(pose1) <= mean_err(pose0) + 1e-4
+    assert _rot_err_deg(pose1.rotation, r) < 0.3
+    assert float(jnp.linalg.norm(pose1.translation - t)) < 0.05
