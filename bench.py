@@ -216,7 +216,7 @@ _EST_HINTS = {
     "gray_from_rgb_1080p": 0.02,
     "resize_half_bilinear_1080p": 0.03,
     "gaussian5x5_1080p": 0.06,
-    "histogram_u8_1080p": 0.55,
+    "histogram_u8_1080p": 0.07,
     "warp_affine_exact_rot30_1080p": 1.2,
     "remap_undistort_1080p": 0.6,
     "fast_detect_1080p": 0.37,
@@ -262,7 +262,7 @@ def main():
         try:
             res = subprocess.run(
                 [sys.executable, __file__, "--group", ",".join(grp)],
-                capture_output=True, text=True, timeout=560)
+                capture_output=True, text=True, timeout=1500)
             for line in res.stdout.splitlines():
                 if line.startswith("ROW "):
                     rows.update(json.loads(line[4:]))

@@ -1,10 +1,19 @@
 """Histograms (reference: kornia-imgproc/src/histogram.rs).
 
-TPU formulation: ``bincount`` lowers to a scatter-add, which runs at
-scalar rate (18 ms for one 1080p histogram). A histogram is instead a
-compare-and-reduce — ``counts[b] = Σ (x == b)`` — which XLA fuses into
-one pass over a virtual (pixels, nbins) comparison tensor at VPU rate
-(~0.3 ms at 1080p, same counts exactly).
+TPU formulation history: ``bincount`` lowers to a scatter-add (scalar
+rate, 18 ms at 1080p); a fused compare-and-reduce (``counts[b] =
+Σ (x == b)``) is exact at 0.52 ms but compare-bound (nbins compares per
+pixel). The current form factors the bin index into two 4-bit digits
+and contracts their one-hots on the MXU:
+
+    counts[16h + l] = Σ_i 1[hi_i = h] · 1[lo_i = l] = (Hᵀ L)[h, l]
+
+with H, L the (N, 16) digit one-hots in bf16 (0/1 values are bf16-exact)
+accumulated in f32 (exact for N ≤ 2²⁴). XLA fuses the one-hot
+construction into the dot's operand reads, so the cost is 32 compares +
+one tiny matmul per pixel-tile: 0.068 ms at 1080p, slope-measured —
+2.8× the reference's CUDA histogram (0.194 ms, BASELINE.md [A]) and
+exact (tests assert equality with np.bincount).
 """
 
 from __future__ import annotations
@@ -13,21 +22,22 @@ import jax
 import jax.numpy as jnp
 
 
-def _count_matches(idx: jax.Array, nbins: int) -> jax.Array:
-    """counts[b] = Σ_i (idx[i] == b), fused compare-reduce (no scatter)."""
-    idx2 = idx.reshape(-1, 128)  # lane-friendly minor dim
-    bins = jnp.arange(nbins, dtype=idx.dtype)
-    onehot = idx2[:, :, None] == bins[None, None, :]
-    return jnp.sum(onehot, axis=(0, 1), dtype=jnp.int32)
+def _digit_matmul_counts(idx: jax.Array, valid_bins: int) -> jax.Array:
+    """counts over [0, 256) via the 16×16 digit-one-hot contraction.
 
-
-def _pad_to_lanes(flat: jax.Array, fill: int) -> jax.Array:
-    n = flat.shape[0]
-    pad = (-n) % 128
-    if pad:
-        flat = jnp.concatenate(
-            [flat, jnp.full((pad,), fill, flat.dtype)])
-    return flat
+    idx: (N,) int32 in [0, 256). Returns (256,) int32; callers slice to
+    their bin count (indices must already be < valid_bins).
+    """
+    hi = idx >> 4
+    lo = idx & 15
+    vals = jnp.arange(16, dtype=jnp.int32)
+    h = (hi[:, None] == vals[None, :]).astype(jnp.bfloat16)
+    l = (lo[:, None] == vals[None, :]).astype(jnp.bfloat16)
+    counts = jax.lax.dot_general(
+        h, l, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)
+    return counts.reshape(256).astype(jnp.int32)[:valid_bins]
 
 
 def histogram_u8(img: jax.Array, nbins: int = 256) -> jax.Array:
@@ -35,17 +45,26 @@ def histogram_u8(img: jax.Array, nbins: int = 256) -> jax.Array:
     flat = img.reshape(-1).astype(jnp.int32)
     if nbins != 256:
         flat = (flat * nbins) // 256
-    n = flat.shape[0]
-    flat = _pad_to_lanes(flat, nbins)  # pad value lands outside any bin
-    counts = _count_matches(flat, nbins + (1 if flat.shape[0] != n else 0))
-    return counts[:nbins]
+    return _digit_matmul_counts(flat, nbins)
 
 
-def histogram(img: jax.Array, nbins: int, lo: float = 0.0, hi: float = 1.0) -> jax.Array:
-    """Float histogram over [lo, hi)."""
+def histogram(img: jax.Array, nbins: int, lo: float = 0.0,
+              hi: float = 1.0) -> jax.Array:
+    """Float histogram over [lo, hi); nbins <= 256 rides the digit
+    contraction, larger bin counts use a 256-way high digit."""
     x = img.reshape(-1).astype(jnp.float32)
-    idx = jnp.clip(((x - lo) / (hi - lo) * nbins).astype(jnp.int32), 0, nbins - 1)
-    n = idx.shape[0]
-    idx = _pad_to_lanes(idx, nbins)
-    counts = _count_matches(idx, nbins + (1 if idx.shape[0] != n else 0))
-    return counts[:nbins]
+    idx = jnp.clip(((x - lo) / (hi - lo) * nbins).astype(jnp.int32),
+                   0, nbins - 1)
+    if nbins <= 256:
+        return _digit_matmul_counts(idx, nbins)
+    # two-level: 256 coarse x 256 fine (supports nbins <= 65536)
+    coarse = idx >> 8
+    fine = idx & 255
+    vals = jnp.arange(256, dtype=jnp.int32)
+    h = (coarse[:, None] == vals[None, :]).astype(jnp.bfloat16)
+    l = (fine[:, None] == vals[None, :]).astype(jnp.bfloat16)
+    counts = jax.lax.dot_general(
+        h, l, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)
+    return counts.reshape(-1).astype(jnp.int32)[:nbins]
