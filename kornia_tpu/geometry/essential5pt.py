@@ -179,7 +179,11 @@ def essential_5pt(
     sel = jax.nn.one_hot(jnp.asarray(_M_TO_XY), 10, dtype=jnp.float32)
     cz = jnp.einsum("...rm,zm,mx->...zrx", coef, zp, sel,
                     precision=_HI)                # (..., 16, 10, 10)
-    dets = jnp.linalg.det(cz)                     # (..., 16)
+    from kornia_tpu.geometry.linalg import det_unrolled
+
+    # batched jnp.linalg.det is a scalar-rate LU on TPU (20 ms for the
+    # 512x16 10x10 batch — the solver's true bottleneck, PERF_NOTES)
+    dets = det_unrolled(cz)                       # (..., 16)
     zfit = jnp.asarray(_ZFIT, jnp.float32)
     poly = jnp.einsum("dz,...z->...d", zfit, dets)  # (..., 11) deg 0..10
 

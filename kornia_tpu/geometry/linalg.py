@@ -333,3 +333,41 @@ def solve_unrolled(a: jax.Array, b: jax.Array) -> jax.Array:
         aug = aug - e_c[..., :, None] * (aug[..., c, :]
                                          - pivot_row)[..., None, :]
     return aug[..., :, a.shape[-1]:]
+
+
+def det_unrolled(a: jax.Array) -> jax.Array:
+    """Determinant of small static-n matrices via unrolled partial-pivot
+    Gaussian elimination, fully vectorized over the batch: (..., n, n)
+    -> (...,).
+
+    Batched ``jnp.linalg.det`` lowers to a scalar-rate LU kernel on TPU
+    (measured 20 ms for 8192 10x10s — the 5pt solver's real bottleneck);
+    this is select/elementwise only. Sign of the row swaps is tracked so
+    the signed determinant is exact.
+    """
+    import numpy as np
+
+    n = a.shape[-1]
+    aug = a
+    rows = np.arange(n)
+    det = jnp.ones(a.shape[:-2], a.dtype)
+    for c in range(n):
+        col = aug[..., :, c]
+        cand = jnp.where(rows >= c, jnp.abs(col), -1.0)
+        p = jnp.argmax(cand, axis=-1)
+        det = det * jnp.where(p == c, 1.0, -1.0)
+        e_p = (rows == p[..., None]).astype(aug.dtype)
+        e_c = jnp.zeros((n,), aug.dtype).at[c].set(1.0)
+        row_c = aug[..., c, :]
+        row_p = jnp.einsum("...r,...rk->...k", e_p, aug)
+        aug = (aug
+               - e_c[..., :, None] * (row_c - row_p)[..., None, :]
+               - e_p[..., None] * (row_p - row_c)[..., None, :])
+        piv = aug[..., c, c]
+        det = det * piv
+        safe = jnp.where(jnp.abs(piv) > 1e-30, piv,
+                         jnp.where(piv < 0, -1e-30, 1e-30))
+        factor = aug[..., :, c] / safe[..., None]
+        factor = factor * (rows > c).astype(aug.dtype)
+        aug = aug - factor[..., None] * aug[..., c, :][..., None, :]
+    return det
