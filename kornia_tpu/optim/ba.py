@@ -49,6 +49,13 @@ class BAParams:
     loss: str = "huber"
     loss_scale: float = 1.0  # pixels
     cost_tolerance: float = 1e-9
+    # reduced-camera-system solver: "dense" materializes S (6P, 6P) and
+    # Cholesky-solves (the reference ba_schur.rs regime, fine to a few
+    # hundred poses); "pcg" runs matrix-free block-Jacobi-preconditioned
+    # CG with O(M) work per CG step (pod-scale maps; never builds the
+    # (N, P) coupling tensor). "auto" picks pcg when P > 400.
+    solver: str = "auto"
+    cg_iters: int = 60
 
 
 class BAProblem(NamedTuple):
@@ -277,13 +284,105 @@ def back_substitute_points(
     return dx * (~problem.fixed_points)[:, None]
 
 
+def _damped_point_inverses(problem: BAProblem, V, lam):
+    eye3 = jnp.eye(3, dtype=jnp.float32)
+    v_damped = V + (lam * jnp.maximum(
+        jnp.diagonal(V, axis1=-2, axis2=-1), 1e-9))[..., None, :] * eye3
+    active_pt = (~problem.fixed_points) & (
+        problem.obs_by_point_mask.any(axis=1))
+    v_inv = jnp.where(
+        active_pt[:, None, None],
+        inv3x3(v_damped + (~active_pt)[:, None, None] * eye3),
+        0.0)
+    return v_inv
+
+
+def _pcg_reduced_solve(problem: BAProblem, U, g_p, V, g_x, b_blocks,
+                       lam, cg_iters: int):
+    """Matrix-free PCG on the reduced camera system.
+
+    S v = U_d v - sum_i B_i V^-1[pt_i] (sum_{j: pt_j = pt_i} B_j^T
+    v[cam_j]) — O(M) einsums + segment sums per CG step; the dense
+    (N, P, 6, 3) coupling tensor of the materialized path (3.6 GB at
+    1000 poses x 50k points) never exists. Block-Jacobi preconditioner
+    = per-pose inverse of the damped U block.
+    """
+    from kornia_tpu.geometry.linalg import solve_unrolled
+
+    p = U.shape[0]
+    n = V.shape[0]
+    free = (~problem.fixed_poses).astype(jnp.float32)
+    v_inv = _damped_point_inverses(problem, V, lam)
+    u_damped = U + (lam * jnp.maximum(
+        jnp.diagonal(U, axis1=-2, axis2=-1), 1e-9))[..., None, :] \
+        * jnp.eye(6, dtype=U.dtype)
+
+    # rhs = g_p - sum_i B_i V^-1[pt_i] g_x[pt_i], gauge-masked
+    yg = jnp.einsum("mij,mj->mi", b_blocks,
+                    jnp.einsum("nij,nj->ni", v_inv, g_x)[problem.obs_pt],
+                    precision=_HI)
+    rhs = (g_p - jax.ops.segment_sum(yg, problem.obs_cam,
+                                     num_segments=p)) * free[:, None]
+
+    def matvec(v):
+        vf = v * free[:, None]
+        t1 = jnp.einsum("mij,mi->mj", b_blocks, vf[problem.obs_cam],
+                        precision=_HI)
+        t2 = jax.ops.segment_sum(t1, problem.obs_pt, num_segments=n)
+        t3 = jnp.einsum("nij,nj->ni", v_inv, t2, precision=_HI)
+        t4 = jnp.einsum("mij,mj->mi", b_blocks, t3[problem.obs_pt],
+                        precision=_HI)
+        uv = jnp.einsum("pij,pj->pi", u_damped, vf, precision=_HI)
+        sv = uv - jax.ops.segment_sum(t4, problem.obs_cam,
+                                      num_segments=p)
+        return sv * free[:, None] + v * (1.0 - free[:, None])
+
+    # block-Jacobi preconditioner (identity on fixed poses)
+    eye6 = jnp.broadcast_to(jnp.eye(6, dtype=jnp.float32), (p, 6, 6))
+    m_blocks = jnp.where(free[:, None, None] > 0, u_damped, eye6)
+    minv = solve_unrolled(m_blocks, eye6)
+
+    def apply_minv(r):
+        return jnp.einsum("pij,pj->pi", minv, r, precision=_HI)
+
+    x0 = jnp.zeros_like(rhs)
+    r0 = rhs
+    z0 = apply_minv(r0)
+    p0 = z0
+    rz0 = jnp.sum(r0 * z0)
+
+    def body(carry, _):
+        x, r, pk, rz = carry
+        ap = matvec(pk)
+        denom = jnp.sum(pk * ap)
+        alive = (rz > 1e-20) & (denom > 1e-20)
+        alpha = jnp.where(alive, rz / jnp.maximum(denom, 1e-20), 0.0)
+        x = x + alpha * pk
+        r = r - alpha * ap
+        z = apply_minv(r)
+        rz_new = jnp.sum(r * z)
+        beta = jnp.where(alive, rz_new / jnp.maximum(rz, 1e-20), 0.0)
+        pk = z + beta * pk
+        return (x, r, pk, rz_new), None
+
+    (x, _, _, _), _ = jax.lax.scan(
+        body, (x0, r0, p0, rz0), None, length=cg_iters)
+    return x, v_inv
+
+
 def _schur_step(problem: BAProblem, poses, points, lam, params: BAParams):
     U, g_p, V, g_x, b_blocks = schur_normal_equations(problem, poses, points, params)
-    s_dense, rhs, v_inv, _ = reduce_camera_system(problem, U, g_p, V, g_x, b_blocks, lam)
     p = poses.shape[0]
-    l = jnp.linalg.cholesky(s_dense)
-    yv = jax.scipy.linalg.solve_triangular(l, rhs, lower=True)
-    delta_pose = jax.scipy.linalg.solve_triangular(l.T, yv, lower=False).reshape(p, 6)
+    use_pcg = params.solver == "pcg" or (
+        params.solver == "auto" and p > 400)
+    if use_pcg:
+        delta_pose, v_inv = _pcg_reduced_solve(
+            problem, U, g_p, V, g_x, b_blocks, lam, params.cg_iters)
+    else:
+        s_dense, rhs, v_inv, _ = reduce_camera_system(problem, U, g_p, V, g_x, b_blocks, lam)
+        l = jnp.linalg.cholesky(s_dense)
+        yv = jax.scipy.linalg.solve_triangular(l, rhs, lower=True)
+        delta_pose = jax.scipy.linalg.solve_triangular(l.T, yv, lower=False).reshape(p, 6)
     delta_pose = delta_pose * (~problem.fixed_poses)[:, None]
     dx = back_substitute_points(problem, v_inv, b_blocks, g_x, delta_pose)
     new_poses = lg.se3_retract(poses, delta_pose)

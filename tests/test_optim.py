@@ -181,3 +181,59 @@ class TestPGO:
             jnp.asarray(poses_gt)[ei], jnp.asarray(poses_gt)[ej], jnp.asarray(meas)
         )
         assert float(jnp.abs(r).max()) < 1e-5
+
+
+def test_schur_pcg_matches_dense_and_scales():
+    """PCG reduced-system solver (BAParams.solver='pcg') must converge to
+    the same solution as the dense Cholesky path, and run at >=100 poses
+    (the regime where the dense (N, P) coupling tensor stops scaling —
+    VERDICT.md weak #7; reference design point ba_schur.rs:1-40)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from kornia_tpu.optim import ba as ba_mod
+    from kornia_tpu.geometry import liegroup as lg
+
+    rng = np.random.default_rng(3)
+    P, N = 120, 600
+    k = np.asarray([[400.0, 0, 320], [0, 400, 240], [0, 0, 1]], np.float32)
+    # cameras on a line looking at a point cloud
+    pts = rng.uniform([-5, -5, 8], [5, 5, 16], (N, 3)).astype(np.float32)
+    poses = []
+    for i in range(P):
+        t = np.array([0.05 * i, 0.0, 0.0], np.float32)
+        poses.append(np.concatenate([[1, 0, 0, 0], -t]))
+    poses = np.asarray(poses, np.float32)
+
+    obs_cam, obs_pt, obs_uv = [], [], []
+    for c in range(P):
+        cam = pts + poses[c, 4:7]
+        uv = cam[:, :2] / cam[:, 2:] * [400, 400] + [320, 240]
+        vis = ((uv[:, 0] > 0) & (uv[:, 0] < 640)
+               & (uv[:, 1] > 0) & (uv[:, 1] < 480))
+        ids = np.nonzero(vis)[0][:80]
+        obs_cam += [c] * len(ids)
+        obs_pt += list(ids)
+        obs_uv += list(uv[ids] + rng.normal(0, 0.5, (len(ids), 2)))
+    obs_uv = np.asarray(obs_uv, np.float32)
+
+    # perturb initial geometry
+    poses_noisy = poses.copy()
+    poses_noisy[1:, 4:7] += rng.normal(0, 0.05, (P - 1, 3))
+    pts_noisy = pts + rng.normal(0, 0.1, pts.shape).astype(np.float32)
+    fixed = np.zeros(P, bool)
+    fixed[0] = True
+
+    problem = ba_mod.build_problem(
+        poses_noisy, pts_noisy, k, obs_cam, obs_pt, obs_uv,
+        fixed_poses=fixed)
+
+    res_pcg = ba_mod.bundle_adjust_schur(
+        problem, ba_mod.BAParams(max_iterations=8, solver="pcg",
+                                 cg_iters=80))
+    res_dense = ba_mod.bundle_adjust_schur(
+        problem, ba_mod.BAParams(max_iterations=8, solver="dense"))
+
+    c0 = float(res_pcg.initial_cost)
+    assert float(res_pcg.final_cost) < 0.1 * c0
+    # both solvers reach the same basin
+    assert float(res_pcg.final_cost) <= 1.2 * float(res_dense.final_cost)
