@@ -31,7 +31,7 @@ from jax.sharding import Mesh  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 
-def synth_problem(n_poses=24, n_points=3000, seed=0):
+def synth_problem(n_poses=170, n_points=3000, seed=0):
     from kornia_tpu.geometry import liegroup as lg
     from kornia_tpu.optim import ba as ba_mod
 
@@ -72,6 +72,8 @@ def main():
     from kornia_tpu.parallel import ba_dist
     from kornia_tpu.parallel.mesh import OBS_AXIS
 
+    # the reference's DENSE_SCHUR design regime: ~170 poses x 3k points
+    # x ~100k observations (ba_schur.rs:1-40)
     problem, n_obs = synth_problem()
     params = ba_mod.BAParams(max_iterations=10, loss="huber",
                              loss_scale=2.0)

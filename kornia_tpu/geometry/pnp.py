@@ -208,13 +208,14 @@ def solve_pnp_ransac(
     if mask is None:
         mask = jnp.ones(n, bool)
 
-    if method == "p3p":
+    if method in ("p3p", "ap3p"):
         sample_size = 4
+        minimal = pnp_p3p if method == "p3p" else pnp_ap3p
 
         def solver(a, b, weights=None):
             if weights is not None:  # LO refit path → weighted EPnP
                 return pnp_epnp(a, b, k, weights)
-            return pnp_p3p(a, b, k)
+            return minimal(a, b, k)
     elif method == "epnp":
         def solver(a, b, weights=None):
             return pnp_epnp(a, b, k, weights)
@@ -344,6 +345,165 @@ def pnp_p3p(
     uv4 = uv4 / kinv_f[..., None, :] + pp[..., None, :]
     err4 = jnp.sum((uv4 - px4[..., None, :]) ** 2, -1)
     err4 = jnp.where(valid & (z4 > 0), err4, jnp.inf)
+    best = jnp.argmin(err4, axis=-1)
+    r_best = jnp.take_along_axis(
+        r_all, best[..., None, None, None], axis=-3)[..., 0, :, :]
+    t_best = jnp.take_along_axis(
+        t_all, best[..., None, None], axis=-2)[..., 0, :]
+    return PnPResult(rotation=r_best, translation=t_best)
+
+
+# ---------------------------------------------------------------------------
+# AP3P (Ke & Roumeliotis, CVPR 2017) — algebraic minimal 3-point solver
+# (reference pnp/ap3p.rs; distinct numerical behavior from Grunert:
+# solves directly for the rotation via two intermediate frames instead
+# of for the three depths, so it avoids the depth-quartic's
+# conditioning near coplanar-with-center configurations)
+# ---------------------------------------------------------------------------
+
+
+def pnp_ap3p(
+    world: jax.Array, pixels: jax.Array, k: jax.Array,
+    weights: Optional[jax.Array] = None,
+) -> PnPResult:
+    """Algebraic P3P, disambiguated by the 4th correspondence.
+
+    world: (..., 4, 3); pixels: (..., 4, 2) like :func:`pnp_p3p`.
+    Implements the published AP3P recipe (quartic in cos(theta1') over
+    the intermediate frames spanned by the bearing/world baselines),
+    fully batched with the closed-form Ferrari quartic + 2 Newton
+    polish steps — no data-dependent branching.
+    """
+    from kornia_tpu.geometry.linalg import solve_quartic
+
+    del weights
+    kinv_f = 1.0 / jnp.stack([k[..., 0, 0], k[..., 1, 1]], -1)
+    pp = jnp.stack([k[..., 0, 2], k[..., 1, 2]], -1)
+    bearings = jnp.concatenate(
+        [(pixels - pp[..., None, :]) * kinv_f[..., None, :],
+         jnp.ones_like(pixels[..., :1])], axis=-1)
+    f = bearings / jnp.linalg.norm(bearings, axis=-1, keepdims=True)
+    b1, b2, b3 = f[..., 0, :], f[..., 1, :], f[..., 2, :]
+    w1, w2, w3 = world[..., 0, :], world[..., 1, :], world[..., 2, :]
+
+    def _norm(v):
+        return jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True),
+                           1e-12)
+
+    u0 = w1 - w2
+    nu0 = _norm(u0)[..., 0]
+    k1 = u0 / _norm(u0)
+    k3r = jnp.cross(b1, b2)
+    nk3 = _norm(k3r)[..., 0]
+    k3 = k3r / _norm(k3r)
+    tz = jnp.cross(b1, k3)
+    v1 = jnp.cross(b1, b3)
+    v2 = jnp.cross(b2, b3)
+    u1 = w1 - w3
+
+    dot = lambda a, b: jnp.sum(a * b, axis=-1)
+    u1k1 = dot(u1, k1)
+    k3b3 = dot(k3, b3)
+    f11 = k3b3
+    f13 = dot(k3, v1)
+    f15 = -u1k1 * f11
+    nl_r = jnp.cross(u1, k1)
+    delta = _norm(nl_r)[..., 0]
+    nl = nl_r / _norm(nl_r)
+    f11 = f11 * delta
+    f13 = f13 * delta
+    u2k1 = u1k1 - nu0
+    f21 = dot(tz, v2)
+    f22 = nk3 * k3b3
+    f23 = dot(k3, v2)
+    f24 = u2k1 * f22
+    f25 = -u2k1 * f21
+    f21 = f21 * delta
+    f22 = f22 * delta
+    f23 = f23 * delta
+
+    g1 = f13 * f22
+    g2 = f13 * f25 - f15 * f23
+    g3 = f11 * f23 - f13 * f21
+    g4 = -f13 * f24
+    g5 = f11 * f22
+    g6 = f11 * f25 - f15 * f21
+    g7 = -f15 * f24
+
+    coeffs = jnp.stack([
+        g5 * g5 + g1 * g1 + g3 * g3,
+        2.0 * (g5 * g6 + g1 * g2 + g3 * g4),
+        (g6 * g6 + 2.0 * g5 * g7 + g2 * g2 + g4 * g4
+         - g1 * g1 - g3 * g3),
+        2.0 * (g6 * g7 - g1 * g2 - g3 * g4),
+        g7 * g7 - g2 * g2 - g4 * g4,
+    ], axis=-1)
+    roots = solve_quartic(coeffs)                      # (..., 4) complex
+    ct = roots.real
+    scale = jnp.maximum(jnp.max(jnp.abs(roots), axis=-1, keepdims=True),
+                        1.0)
+    is_real = jnp.abs(roots.imag) < 1e-4 * scale
+
+    # 2 Newton polish steps on the real parts (reference
+    # polish_quartic_roots)
+    for _ in range(2):
+        err = ((((coeffs[..., 0:1] * ct + coeffs[..., 1:2]) * ct
+                 + coeffs[..., 2:3]) * ct + coeffs[..., 3:4]) * ct
+               + coeffs[..., 4:5])
+        der = (((4.0 * coeffs[..., 0:1] * ct + 3.0 * coeffs[..., 1:2])
+                * ct + 2.0 * coeffs[..., 2:3]) * ct + coeffs[..., 3:4])
+        der = jnp.where(jnp.abs(der) < 1e-12, 1e-12, der)
+        ct = ct - err / der
+
+    valid = is_real & (jnp.abs(ct) <= 1.0)
+    ctc = jnp.clip(ct, -1.0, 1.0)
+    st = jnp.sqrt(jnp.maximum(1.0 - ctc * ctc, 0.0))
+    st = st * jnp.where(k3b3 < 0.0, -1.0, 1.0)[..., None]
+
+    ct3 = g1[..., None] * ctc + g2[..., None]
+    st3 = g3[..., None] * ctc + g4[..., None]
+    nt3_den = ((g5[..., None] * ctc + g6[..., None]) * ctc
+               + g7[..., None])
+    nt3_den = jnp.where(jnp.abs(nt3_den) < 1e-12, 1e-12, nt3_den)
+    nt3 = st / nt3_den
+    ct3 = ct3 * nt3
+    st3 = st3 * nt3
+
+    # C13 rotation per root: (..., 4, 3, 3)
+    zero = jnp.zeros_like(ct3)
+    c13 = jnp.stack([
+        jnp.stack([ct3, zero, -st3], -1),
+        jnp.stack([st * st3, ctc, st * ct3], -1),
+        jnp.stack([ctc * st3, -st, ctc * ct3], -1),
+    ], axis=-2)
+
+    temp = jnp.cross(k1, nl)
+    ck1nl = jnp.stack([k1, nl, temp], axis=-1)         # (..., 3, 3) cols
+    cb1k3tz = jnp.stack([b1, k3, tz], axis=-2)         # (..., 3, 3) rows
+
+    r_cw = jnp.einsum("...ij,...rjk,...kl->...ril", ck1nl, c13, cb1k3tz)
+    # world->camera: R = r_cw^T, t = s(theta1')*(delta/k3b3)*b3 - R^T... 
+    # (reference: solutions_t = stheta1p*b3p - r_mat^T w3; R_out = r_mat^T)
+    b3p = (delta / jnp.where(jnp.abs(k3b3) < 1e-12, 1e-12, k3b3)
+           )[..., None] * b3
+    rp3 = jnp.einsum("...rij,...i->...rj", r_cw, w3)   # r_mat^T w3
+    t_all = st[..., None] * b3p[..., None, :] - rp3
+    r_all = jnp.swapaxes(r_cw, -1, -2)
+
+    # disambiguate with the 4th point (same protocol as pnp_p3p)
+    p4 = world[..., 3, :]
+    px4 = pixels[..., 3, :]
+    cam4 = jnp.einsum("...rij,...j->...ri", r_all, p4) + t_all
+    z4 = jnp.where(jnp.abs(cam4[..., 2]) < 1e-9, 1e-9, cam4[..., 2])
+    uv4 = cam4[..., :2] / z4[..., None]
+    uv4 = uv4 / kinv_f[..., None, :] + pp[..., None, :]
+    err4 = jnp.sum((uv4 - px4[..., None, :]) ** 2, -1)
+    # cheirality on the three minimal points
+    cam123 = (jnp.einsum("...rij,...pj->...rpi", r_all,
+                         world[..., :3, :])
+              + t_all[..., None, :])
+    che = jnp.all(cam123[..., 2] > 0, axis=-1)
+    err4 = jnp.where(valid & che & (z4 > 0), err4, jnp.inf)
     best = jnp.argmin(err4, axis=-1)
     r_best = jnp.take_along_axis(
         r_all, best[..., None, None, None], axis=-3)[..., 0, :, :]

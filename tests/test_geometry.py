@@ -537,3 +537,57 @@ def test_pnp_refine_improves():
     assert mean_err(pose1) <= mean_err(pose0) + 1e-4
     assert _rot_err_deg(pose1.rotation, r) < 0.3
     assert float(jnp.linalg.norm(pose1.translation - t)) < 0.05
+
+
+def test_ap3p_exact_recovery():
+    """AP3P (Ke & Roumeliotis algebra, reference pnp/ap3p.rs) recovers
+    exact poses from noise-free minimal samples, batched."""
+    import numpy as np
+    import jax.numpy as jnp
+    from kornia_tpu.geometry.pnp import pnp_ap3p
+    from kornia_tpu.geometry.liegroup import so3_exp_matrix
+
+    rng = np.random.default_rng(0)
+    k = np.asarray([[500.0, 0, 320], [0, 500, 240], [0, 0, 1]],
+                   np.float32)
+    r = np.asarray(so3_exp_matrix(jnp.asarray([0.2, -0.1, 0.3])))
+    t = np.asarray([0.1, 0.2, 0.5])
+    pts = rng.uniform([-2, -2, 4], [2, 2, 10], (16, 4, 3)).astype(
+        np.float32)
+    cam = pts @ r.T + t
+    px = (cam[..., :2] / cam[..., 2:]) * [500, 500] + [320, 240]
+    res = pnp_ap3p(jnp.asarray(pts), jnp.asarray(px.astype(np.float32)),
+                   jnp.asarray(k))
+    assert np.linalg.norm(np.asarray(res.rotation) - r,
+                          axis=(1, 2)).max() < 1e-3
+    assert np.linalg.norm(np.asarray(res.translation) - t,
+                          axis=-1).max() < 1e-3
+
+
+def test_ap3p_in_ransac():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from kornia_tpu.geometry.pnp import solve_pnp_ransac
+    from kornia_tpu.geometry.liegroup import so3_exp_matrix
+
+    rng = np.random.default_rng(2)
+    k = np.asarray([[500.0, 0, 320], [0, 500, 240], [0, 0, 1]],
+                   np.float32)
+    n = 100
+    world = rng.uniform([-2, -2, 4], [2, 2, 10], (n, 3)).astype(
+        np.float32)
+    r = np.asarray(so3_exp_matrix(jnp.asarray([0.1, -0.15, 0.2])))
+    t = np.asarray([0.3, -0.2, 0.5], np.float32)
+    cam = world @ r.T + t
+    px = (cam[:, :2] / cam[:, 2:]) * [500, 500] + [320, 240]
+    px += rng.normal(0, 0.5, px.shape)
+    out_idx = rng.choice(n, n // 6, replace=False)
+    px[out_idx] += rng.uniform(30, 60, (len(out_idx), 2))
+    pose, inl, n_inl = solve_pnp_ransac(
+        jax.random.PRNGKey(0), jnp.asarray(world),
+        jnp.asarray(px.astype(np.float32)), jnp.asarray(k),
+        method="ap3p")
+    c = (np.trace(np.asarray(pose.rotation).T @ r) - 1) / 2
+    assert np.degrees(np.arccos(np.clip(c, -1, 1))) < 0.5
+    assert int(n_inl) > 70
