@@ -77,6 +77,10 @@ class OrbConfig:
     fast_threshold_low: float = 7.0
     cell_size: int = 35
     pattern_seed: int = 7
+    # Harris re-ranking of FAST candidates at keypoints (reference
+    # responses.rs:153 per-KP Harris; FAST proposes ~2x candidates,
+    # the final budget cut uses the Harris score)
+    harris_rescore: bool = True
 
 
 def _level_budgets(cfg: OrbConfig) -> List[int]:
@@ -256,9 +260,27 @@ def _process_level(
     )
     # global top-`budget` among cell winners keeps spatial spread (cells
     # already capped) while filling the level budget
-    vals, idx = jax.lax.top_k(jnp.where(kps.mask, kps.score, -jnp.inf), budget)
-    xy = kps.xy[idx]
-    valid = vals > 0.0
+    if cfg.harris_rescore:
+        # reference contract (extractor.rs + responses.rs:153): FAST
+        # proposes ~2x candidates, Harris at the keypoints does the
+        # final ranking cut — stabilizes ordering across viewpoints
+        from kornia_tpu.features.responses import harris_at
+
+        cand = min(2 * budget, kps.xy.shape[0])
+        v0, i0 = jax.lax.top_k(
+            jnp.where(kps.mask, kps.score, -jnp.inf), cand)
+        xy0 = kps.xy[i0]
+        h = harris_at(gray_f, jnp.round(xy0).astype(jnp.int32))
+        h = jnp.where(v0 > 0.0, h, -jnp.inf)
+        vals, i1 = jax.lax.top_k(h, budget)
+        xy = xy0[i1]
+        valid = jnp.isfinite(vals)
+        vals = jnp.where(valid, vals, 0.0)
+    else:
+        vals, idx = jax.lax.top_k(
+            jnp.where(kps.mask, kps.score, -jnp.inf), budget)
+        xy = kps.xy[idx]
+        valid = vals > 0.0
 
     blurred = gaussian_blur(gray_f[..., None], (7, 7), 2.0)[..., 0]
     if os.environ.get("KORNIA_TPU_ORB", "windows") == "windows":

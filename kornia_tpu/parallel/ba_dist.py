@@ -199,36 +199,101 @@ def bundle_adjust_schur_dist(
             rhs_partial = jax.ops.segment_sum(rhs_terms, obs_cam, num_segments=p)
             rhs_p = g_p - jax.lax.psum(rhs_partial, axis)
 
-            # MXU-shaped Schur reduction (same reformulation as
-            # optim/ba.py): per-(point, camera) aggregates Bc/Yc, then
-            # one (6P, 3Nl)·(3Nl, 6P) matmul — no (Nl, K, K, 6, 6)
-            # pairwise tensor, no giant scatter
-            ml = b_b.shape[0]
-            pair_key = obs_pt.astype(jnp.int32) * p + obs_cam
-            bc = jax.ops.segment_sum(
-                b_b.reshape(ml, 18), pair_key, num_segments=nl * p
-            ).reshape(nl, p, 6, 3)
-            yc = jnp.einsum("npis,nst->npit", bc, v_inv, precision=_HI)
-            s_local = jnp.einsum("npis,nqjs->pqij", yc, bc, precision=_HI)
-            # ONE collective for the reduced camera system
-            s = -jax.lax.psum(s_local, axis)
+            free = (~fixed_poses).astype(jnp.float32)
             u_damped = U + (lam * jnp.maximum(
                 jnp.diagonal(U, axis1=-2, axis2=-1), 1e-9))[..., None, :] * jnp.eye(6, dtype=U.dtype)
-            s = s.at[jnp.arange(p), jnp.arange(p)].add(u_damped)
 
-            free = (~fixed_poses).astype(jnp.float32)
-            s = s * free[:, None, None, None] * free[None, :, None, None]
-            s = s.at[jnp.arange(p), jnp.arange(p)].add(
-                (1.0 - free)[:, None, None] * jnp.eye(6, dtype=s.dtype)
-            )
-            rhs = (rhs_p * free[:, None]).reshape(-1)
-            s_dense = s.transpose(0, 2, 1, 3).reshape(p * 6, p * 6)
+            if params.solver == "pcg":
+                # Fully-distributed matrix-free PCG: each CG step is
+                # local O(M/D) observation work + ONE psum of the (P, 6)
+                # product — the pod-scale path (no term of the program
+                # is replicated work that grows with P³).
+                from kornia_tpu.geometry.linalg import solve_unrolled
 
-            # replicated dense Cholesky (identical on all devices)
-            l = jnp.linalg.cholesky(s_dense)
-            yv = jax.scipy.linalg.solve_triangular(l, rhs, lower=True)
-            dp = jax.scipy.linalg.solve_triangular(l.T, yv, lower=False).reshape(p, 6)
-            dp = dp * free[:, None]
+                rhs_p2 = rhs_p * free[:, None]
+
+                def matvec(v):
+                    vf = v * free[:, None]
+                    t1 = jnp.einsum("mij,mi->mj", b_b, vf[obs_cam],
+                                    precision=_HI)
+                    t2 = jax.ops.segment_sum(t1, obs_pt,
+                                             num_segments=nl)
+                    t3 = jnp.einsum("nij,nj->ni", v_inv, t2,
+                                    precision=_HI)
+                    t4 = jnp.einsum("mij,mj->mi", b_b, t3[obs_pt],
+                                    precision=_HI)
+                    sv_part = jax.ops.segment_sum(
+                        t4, obs_cam, num_segments=p)
+                    sv = (jnp.einsum("pij,pj->pi", u_damped, vf,
+                                     precision=_HI)
+                          - jax.lax.psum(sv_part, axis))
+                    return sv * free[:, None] + v * (1.0 - free[:, None])
+
+                eye6 = jnp.broadcast_to(
+                    jnp.eye(6, dtype=jnp.float32), (p, 6, 6))
+                m_blocks = jnp.where(free[:, None, None] > 0,
+                                     u_damped, eye6)
+                minv = solve_unrolled(m_blocks, eye6)
+
+                def apply_minv(r_):
+                    return jnp.einsum("pij,pj->pi", minv, r_,
+                                      precision=_HI)
+
+                x0 = jnp.zeros_like(rhs_p2)
+                r0 = rhs_p2
+                z0 = apply_minv(r0)
+                rz0 = jnp.sum(r0 * z0)
+
+                def cg_body(carry, _):
+                    x, r_, pk, rz = carry
+                    ap = matvec(pk)
+                    denom = jnp.sum(pk * ap)
+                    alive = (rz > 1e-20) & (denom > 1e-20)
+                    alpha = jnp.where(
+                        alive, rz / jnp.maximum(denom, 1e-20), 0.0)
+                    x = x + alpha * pk
+                    r_ = r_ - alpha * ap
+                    z = apply_minv(r_)
+                    rz_new = jnp.sum(r_ * z)
+                    beta = jnp.where(
+                        alive, rz_new / jnp.maximum(rz, 1e-20), 0.0)
+                    return (x, r_, z + beta * pk, rz_new), None
+
+                (dp, _, _, _), _ = jax.lax.scan(
+                    cg_body, (x0, r0, z0, rz0), None,
+                    length=params.cg_iters)
+                dp = dp * free[:, None]
+            else:
+                # MXU-shaped Schur reduction (same reformulation as
+                # optim/ba.py): per-(point, camera) aggregates Bc/Yc,
+                # then one (6P, 3Nl)·(3Nl, 6P) matmul — no
+                # (Nl, K, K, 6, 6) pairwise tensor, no giant scatter
+                ml = b_b.shape[0]
+                pair_key = obs_pt.astype(jnp.int32) * p + obs_cam
+                bc = jax.ops.segment_sum(
+                    b_b.reshape(ml, 18), pair_key, num_segments=nl * p
+                ).reshape(nl, p, 6, 3)
+                yc = jnp.einsum("npis,nst->npit", bc, v_inv,
+                                precision=_HI)
+                s_local = jnp.einsum("npis,nqjs->pqij", yc, bc,
+                                     precision=_HI)
+                # ONE collective for the reduced camera system
+                s = -jax.lax.psum(s_local, axis)
+                s = s.at[jnp.arange(p), jnp.arange(p)].add(u_damped)
+
+                s = s * free[:, None, None, None] * free[None, :, None, None]
+                s = s.at[jnp.arange(p), jnp.arange(p)].add(
+                    (1.0 - free)[:, None, None] * jnp.eye(6, dtype=s.dtype)
+                )
+                rhs = (rhs_p * free[:, None]).reshape(-1)
+                s_dense = s.transpose(0, 2, 1, 3).reshape(p * 6, p * 6)
+
+                # replicated dense Cholesky (identical on all devices)
+                l = jnp.linalg.cholesky(s_dense)
+                yv = jax.scipy.linalg.solve_triangular(l, rhs, lower=True)
+                dp = jax.scipy.linalg.solve_triangular(
+                    l.T, yv, lower=False).reshape(p, 6)
+                dp = dp * free[:, None]
 
             # local point back-substitution
             bt_dp = jnp.einsum("mij,mi->mj", b_b, dp[obs_cam], precision=_HI)

@@ -72,3 +72,30 @@ def test_shard_problem_roundtrip(scene):
         np.asarray(sharded.points).reshape(-1, 3)[: sharded.n_points],
         np.asarray(problem.points),
     )
+
+
+def test_dist_pcg_matches_dense():
+    """The fully-distributed PCG solver (one psum per CG step, nothing
+    replicated beyond (P,6) vectors) reaches the dense path's basin on
+    the virtual mesh."""
+    from jax.sharding import Mesh
+
+    from kornia_tpu.parallel.mesh import OBS_AXIS
+
+    (_, poses_init, _, pts_init, k,
+     obs_cam, obs_pt, obs_uv, fixed) = make_ba_scene(
+        seed=5, n_poses=12, n_points=400, noise_px=0.5)
+    problem = ba_mod.build_problem(
+        poses_init, pts_init, k, obs_cam, obs_pt, obs_uv,
+        fixed_poses=fixed)
+    devices = jax.devices()[:4]
+    mesh = Mesh(np.asarray(devices), (OBS_AXIS,))
+    sharded = ba_dist.shard_problem(problem, len(devices))
+    r_pcg = ba_dist.bundle_adjust_schur_dist(
+        sharded, mesh, ba_mod.BAParams(max_iterations=6, solver="pcg",
+                                       cg_iters=50))
+    r_dense = ba_dist.bundle_adjust_schur_dist(
+        sharded, mesh, ba_mod.BAParams(max_iterations=6,
+                                       solver="dense"))
+    assert float(r_pcg.final_cost) < 0.2 * float(r_pcg.initial_cost)
+    assert float(r_pcg.final_cost) <= 1.3 * float(r_dense.final_cost)
