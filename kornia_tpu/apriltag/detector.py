@@ -147,22 +147,28 @@ def _fit_quad(px: np.ndarray, py: np.ndarray,
     x, y = px[order], py[order]
     n = len(x)
 
-    # corner hypotheses from the convex hull: farthest pair, then the
-    # extreme point on each side of that diagonal (robust for oblique
-    # quads where distance-to-centroid peaks are weak)
-    hull = _convex_hull(x, y)
-    if len(hull) < 4:
-        return None
-    hx, hy = x[hull], y[hull]
-    da = (hx[:, None] - hx[None, :]) ** 2 + (hy[:, None] - hy[None, :]) ** 2
-    ia, ib = np.unravel_index(np.argmax(da), da.shape)
-    ax, ay, bx, by = hx[ia], hy[ia], hx[ib], hy[ib]
-    side = (bx - ax) * (hy - ay) - (by - ay) * (hx - ax)
+    # corner hypotheses: farthest point pair, then the extreme point on
+    # each side of that diagonal (robust for oblique quads where
+    # distance-to-centroid peaks are weak). The extremes of these
+    # vectorized argmaxes are convex-hull vertices by construction, so
+    # the per-point Python hull loop (the old ~5 ms/cluster hot spot —
+    # 640 ms/frame at 113 clusters) is unnecessary.
+    # subsample the farthest-pair search on big clusters (the corners
+    # are re-derived from full-resolution line fits below, so coarse
+    # initial picks are fine); keeps the pairwise matrix <= 256^2
+    stride = max(1, n // 256)
+    cand = np.arange(0, n, stride)
+    xc, yc_ = x[cand], y[cand]
+    da = (xc[:, None] - xc[None, :]) ** 2 + (yc_[:, None] - yc_[None, :]) ** 2
+    ia_, ib_ = np.unravel_index(np.argmax(da), da.shape)
+    ia, ib = cand[ia_], cand[ib_]
+    ax, ay, bx, by = x[ia], y[ia], x[ib], y[ib]
+    side = (bx - ax) * (y - ay) - (by - ay) * (x - ax)
     if side.max() <= 0 or side.min() >= 0:
         return None
     ic = int(np.argmax(side))
     id_ = int(np.argmin(side))
-    picked = sorted({int(hull[i]) for i in (ia, ib, ic, id_)})
+    picked = sorted({int(ia), int(ib), ic, id_})
     if len(picked) < 4:
         return None
 
@@ -180,9 +186,14 @@ def _fit_quad(px: np.ndarray, py: np.ndarray,
         idx = idx[trim:-trim] if len(idx) > 2 * trim + 2 else idx
         sx, sy = x[idx], y[idx]
         mx, my = sx.mean(), sy.mean()
-        u = np.stack([sx - mx, sy - my], 1)
-        _, _, vt = np.linalg.svd(u, full_matrices=False)
-        direction = vt[0]
+        dxs, dys = sx - mx, sy - my
+        # principal axis of the 2x2 covariance, closed form (replaces a
+        # per-side LAPACK SVD call)
+        sxx = float(dxs @ dxs)
+        syy = float(dys @ dys)
+        sxy = float(dxs @ dys)
+        theta = 0.5 * np.arctan2(2.0 * sxy, sxx - syy)
+        direction = np.array([np.cos(theta), np.sin(theta)])
         normal = np.array([-direction[1], direction[0]])
         lines.append((normal, normal @ np.array([mx, my])))
     for i in range(4):
@@ -242,6 +253,19 @@ class AprilTagDecoder:
         self._families = [get_family(f) for f in config.families]
 
     def decode(self, gray: np.ndarray) -> List[Detection]:
+        """Full pipeline. Set KORNIA_TPU_APRILTAG_TRACE=1 for a
+        per-stage ms table (the reference's time_stages.rs
+        discipline)."""
+        import os
+        import time as _time
+
+        trace = os.environ.get("KORNIA_TPU_APRILTAG_TRACE")
+        stamps = [("start", _time.perf_counter())]
+
+        def mark(name):
+            if trace:
+                stamps.append((name, _time.perf_counter()))
+
         cfg = self.config
         gray = np.asarray(gray)
         if gray.ndim == 3:
@@ -254,9 +278,12 @@ class AprilTagDecoder:
 
         threshim = np.asarray(thr_mod.adaptive_threshold(
             jnp.asarray(gray_d), cfg.tile_size, cfg.min_white_black_diff))
+        mark("threshold[TPU]")
         labels = label_classes_host(threshim, skip=thr_mod.UNKNOWN)
+        mark("ccl[native C++]")
 
         keys, x2, y2 = _boundary_points(threshim, labels)
+        mark("boundary[host]")
         if keys.size == 0:
             return []
         order = np.argsort(keys, kind="stable")
@@ -276,15 +303,30 @@ class AprilTagDecoder:
                 & (bbox_w * bbox_h >= cfg.min_tag_area)
                 & (npts_all <= 6 * (bbox_w + bbox_h) + 16))
 
+        mark("cluster_filter[host]")
         detections: List[Detection] = []
         scale = float(cfg.quad_decimate)
+        quads = []
         for s, e in zip(starts[keep], ends[keep]):
             quad = _fit_quad(x2[s:e] / 2.0, y2[s:e] / 2.0, cfg)
-            if quad is None:
-                continue
+            if quad is not None:
+                quads.append(quad)
+        mark("quad_fit[host]")
+        for quad in quads:
             det = self._decode_quad(full, quad * scale)
             if det is not None:
                 detections.append(det)
+        mark("decode[host]")
+        if trace:
+            import sys as _sys
+
+            total = (stamps[-1][1] - stamps[0][1]) * 1e3
+            parts = " ".join(
+                f"{n}={1e3*(t1-t0):.2f}ms" for (_, t0), (n, t1)
+                in zip(stamps, stamps[1:]))
+            print(f"# apriltag stages: {parts} total={total:.2f}ms "
+                  f"({len(quads)} quads, {len(detections)} det)",
+                  file=_sys.stderr)
         return _dedup(detections)
 
     # ------------------------------------------------------------- decode
