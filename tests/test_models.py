@@ -206,3 +206,91 @@ class TestParamIO:
         b = jax.tree_util.tree_leaves(loaded)
         for x, y in zip(a, b):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+class TestHFWeightParity:
+    """Weight-level validation against real HF implementations
+    (VERDICT.md missing #8): tiny torch models are instantiated
+    locally, their weights converted through models.hf_convert, and
+    the logits compared on identical inputs — the same contract a hub
+    checkpoint load would exercise, without network."""
+
+    def test_llama_logits_parity(self):
+        import numpy as np
+        import torch
+        import jax.numpy as jnp
+        from transformers import LlamaConfig, LlamaForCausalLM
+
+        from kornia_tpu.models.llm import CausalLM, KVCache, LLMConfig
+        from kornia_tpu.models.hf_convert import convert_llama_state_dict
+        from kornia_tpu.models.vlm import load_params
+
+        torch.manual_seed(0)
+        hf_cfg = LlamaConfig(
+            vocab_size=128, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, max_position_embeddings=64,
+            rope_theta=10000.0, rms_norm_eps=1e-5,
+            tie_word_embeddings=True, attention_bias=False)
+        hf = LlamaForCausalLM(hf_cfg).eval()
+
+        cfg = LLMConfig(vocab_size=128, hidden_size=64,
+                        intermediate_size=128, num_layers=2,
+                        num_heads=4, num_kv_heads=2, max_seq_len=16)
+        model = CausalLM(cfg)
+        import jax
+        tokens = np.array([[3, 17, 99, 5, 42, 7, 0, 11]], np.int32)
+        cache = KVCache.zeros(cfg, 1)
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 8, 64), jnp.float32), cache)
+        upd = convert_llama_state_dict(
+            hf.state_dict(), num_layers=2, num_heads=4, num_kv_heads=2)
+        params = load_params(params, upd)
+
+        with torch.no_grad():
+            ref = hf(torch.tensor(tokens.astype(np.int64))).logits.numpy()
+
+        def fwd(p, toks):
+            emb = model.apply(p, toks, method=CausalLM.embed_tokens)
+            logits, _ = model.apply(p, emb, cache)
+            return logits
+
+        ours = np.asarray(fwd(params, jnp.asarray(tokens)))
+        np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=2e-3)
+
+    def test_siglip_features_parity(self):
+        import numpy as np
+        import torch
+        import jax
+        import jax.numpy as jnp
+        from transformers import SiglipVisionConfig, SiglipVisionModel
+
+        from kornia_tpu.models.vit import ViTConfig, VisionTransformer
+        from kornia_tpu.models.hf_convert import (
+            convert_siglip_state_dict)
+        from kornia_tpu.models.vlm import load_params
+
+        torch.manual_seed(1)
+        hf_cfg = SiglipVisionConfig(
+            hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4,
+            image_size=28, patch_size=14, layer_norm_eps=1e-6,
+            hidden_act="gelu_pytorch_tanh")
+        hf = SiglipVisionModel(hf_cfg).eval()
+
+        cfg = ViTConfig(image_size=28, patch_size=14, hidden_size=64,
+                        intermediate_size=128, num_layers=2,
+                        num_heads=4)
+        model = VisionTransformer(cfg)
+        rng = np.random.default_rng(0)
+        img = rng.normal(0, 1, (1, 28, 28, 3)).astype(np.float32)
+        params = model.init(jax.random.PRNGKey(0), jnp.asarray(img))
+        upd = convert_siglip_state_dict(
+            hf.state_dict(), num_layers=2, num_heads=4)
+        params = load_params(params, upd)
+
+        with torch.no_grad():
+            ref = hf(torch.tensor(img.transpose(0, 3, 1, 2))
+                     ).last_hidden_state.numpy()
+        ours = np.asarray(model.apply(params, jnp.asarray(img)))
+        np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=2e-3)
