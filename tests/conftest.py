@@ -48,10 +48,24 @@ _SLOW_MODULES = {
     "test_models",
 }
 
+# Individually compile-heavy tests (measured >45 s each on this CPU);
+# the capabilities they pin are also covered by faster siblings in the
+# same modules, so the fast gate keeps breadth while staying runnable.
+_SLOW_TESTS = {
+    "test_paths_bit_identical",
+    "test_match_quality_under_rotation",
+    "test_fixed_shapes",
+    "test_twoview_with_5pt_solver",
+    "test_exact_cases",
+    "test_rotation_u8",
+}
+
 
 def pytest_collection_modifyitems(config, items):
     for item in items:
-        if item.module.__name__ in _SLOW_MODULES:
+        if (item.module.__name__ in _SLOW_MODULES
+                or item.originalname in _SLOW_TESTS
+                or item.name in _SLOW_TESTS):
             item.add_marker(pytest.mark.slow)
 
 
