@@ -25,6 +25,8 @@ from kornia_tpu.geometry import epipolar as epi
 from kornia_tpu.geometry.liegroup import so3_exp_matrix
 from kornia_tpu.optim.lm import lm_manifold
 
+_HI_PREC = jax.lax.Precision.HIGHEST
+
 
 def _huber_sqrt(sq_err: jax.Array, delta: float) -> jax.Array:
     """sqrt of the Huber cost of a SQUARED error — usable as an LM
@@ -104,26 +106,84 @@ def refine_pose_reprojection(
     threshold_px: float = 2.0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Reprojection-cost LM on SE3 (6 DOF) after PnP RANSAC
-    (reference pnp/refine.rs:46-75). Returns refined (R, t)."""
-    from kornia_tpu.geometry.camera import project_points
+    (reference pnp/refine.rs:46-75). Returns refined (R, t).
 
-    w = inliers.astype(jnp.float32)
+    Uses analytic 2x6 Jacobians (IRLS-weighted Gauss-Newton with LM
+    damping) instead of forward-mode autodiff through the retraction —
+    ~5x cheaper per iteration on the tracking hot path (the autodiff
+    version put PnP at 5.3 ms/frame, dominating frames/s/chip).
+    """
+    from kornia_tpu.geometry.linalg import solve_cholesky_damped
+
+    wmask = inliers.astype(jnp.float32)
     kf = k.astype(jnp.float32)
+    fx, fy = kf[0, 0], kf[1, 1]
+    cx, cy = kf[0, 2], kf[1, 2]
+    wpts = world.astype(jnp.float32)
+    px = pixels.astype(jnp.float32)
+    tau2 = jnp.float32(threshold_px * threshold_px)
 
-    def residual(state):
-        rr, tt = state
-        cam = world.astype(jnp.float32) @ rr.T + tt
-        proj = project_points(cam, kf)
-        err = (proj - pixels.astype(jnp.float32))
-        sq = jnp.sum(err * err, axis=-1)
+    def cost_of(rr, tt):
+        cam = wpts @ rr.T + tt
+        z = jnp.maximum(cam[:, 2], 1e-6)
+        u = fx * cam[:, 0] / z + cx
+        v = fy * cam[:, 1] / z + cy
+        sq = (u - px[:, 0]) ** 2 + (v - px[:, 1]) ** 2
         sq = jnp.where(cam[:, 2] <= 1e-6, 1e6, sq)
-        return _huber_sqrt(sq, threshold_px) * w
+        hub = jnp.where(sq <= tau2, sq,
+                        2.0 * jnp.sqrt(sq * tau2) - tau2)
+        return jnp.sum(wmask * hub)
 
-    def retract(state, delta):
-        rr, tt = state
-        return (rr @ so3_exp_matrix(delta[:3]), tt + delta[3:6])
+    def step(carry, _):
+        rr, tt, lam, cost = carry
+        cam = wpts @ rr.T + tt
+        z = jnp.maximum(cam[:, 2], 1e-6)
+        iz = 1.0 / z
+        u = fx * cam[:, 0] * iz + cx
+        v = fy * cam[:, 1] * iz + cy
+        e = jnp.stack([u - px[:, 0], v - px[:, 1]], -1)      # (N, 2)
+        sq = jnp.sum(e * e, -1)
+        # IRLS Huber weight: 1 inside tau, tau/|e| outside
+        wr = jnp.where(sq <= tau2, 1.0,
+                       jnp.sqrt(tau2 / jnp.maximum(sq, 1e-12)))
+        wr = wr * wmask * (cam[:, 2] > 1e-6)
 
-    state = (r.astype(jnp.float32), t.astype(jnp.float32))
-    res = lm_manifold(residual, retract, state, tangent_dim=6,
-                      max_iterations=iters)
-    return res.params[0], res.params[1]
+        # dpi/dcam (N, 2, 3)
+        a = jnp.stack([
+            jnp.stack([fx * iz, jnp.zeros_like(iz),
+                       -fx * cam[:, 0] * iz * iz], -1),
+            jnp.stack([jnp.zeros_like(iz), fy * iz,
+                       -fy * cam[:, 1] * iz * iz], -1),
+        ], -2)
+        # dcam/d(delta_r) with R' = R exp([delta]x): -R [p]x
+        zr = jnp.zeros_like(wpts[:, 0])
+        phat = jnp.stack([
+            jnp.stack([zr, -wpts[:, 2], wpts[:, 1]], -1),
+            jnp.stack([wpts[:, 2], zr, -wpts[:, 0]], -1),
+            jnp.stack([-wpts[:, 1], wpts[:, 0], zr], -1),
+        ], -2)                                               # (N, 3, 3)
+        dr = -jnp.einsum("ij,njk->nik", rr, phat)            # (N, 3, 3)
+        j = jnp.concatenate([
+            jnp.einsum("nij,njk->nik", a, dr),               # rot part
+            a,                                               # trans part
+        ], -1)                                               # (N, 2, 6)
+        jw = j * wr[:, None, None]
+        jtj = jnp.einsum("nki,nkj->ij", jw, j, precision=_HI_PREC)
+        g = jnp.einsum("nki,nk->i", jw, e, precision=_HI_PREC)
+        delta = solve_cholesky_damped(jtj, -g, lam)
+        r_new = rr @ so3_exp_matrix(delta[:3])
+        t_new = tt + delta[3:6]
+        new_cost = cost_of(r_new, t_new)
+        accept = new_cost < cost
+        rr = jnp.where(accept, r_new, rr)
+        tt = jnp.where(accept, t_new, tt)
+        lam = jnp.clip(jnp.where(accept, lam * 0.1, lam * 10.0),
+                       1e-10, 1e6)
+        return (rr, tt, lam, jnp.where(accept, new_cost, cost)), None
+
+    r0 = r.astype(jnp.float32)
+    t0 = t.astype(jnp.float32)
+    c0 = cost_of(r0, t0)
+    (rf, tf, _, _), _ = jax.lax.scan(
+        step, (r0, t0, jnp.float32(1e-3), c0), None, length=iters)
+    return rf, tf
