@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional, Tuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -90,8 +91,23 @@ def pnp_epnp(
     m = m * jnp.concatenate([weights, weights], axis=-1)[..., None]
 
     mtm = jnp.einsum("...ni,...nj->...ij", m, m, precision=jax.lax.Precision.HIGHEST)  # (..., 12, 12)
-    _, evecs = jnp.linalg.eigh(mtm)  # ascending eigenvalues
-    vbasis = evecs[..., :, 0]  # (..., 12) smallest — the N=1 case
+    # smallest eigenvector via ridged inverse iteration on the unrolled
+    # 12x12 solve: batched jnp.linalg.eigh is a scalar-rate LAPACK
+    # kernel on TPU (256 hypotheses cost ~5 ms — the PnP RANSAC
+    # bottleneck; PERF_NOTES small-matrix rule)
+    from kornia_tpu.geometry.linalg import solve_unrolled
+
+    ridge = (1e-9 * jnp.trace(mtm, axis1=-2, axis2=-1)
+             + 1e-20)[..., None, None]
+    m_r = mtm + ridge * np.eye(12, dtype=np.float32)
+    vb = jnp.broadcast_to(
+        np.full((12,), 1.0 / np.sqrt(12.0), np.float32),
+        mtm.shape[:-1])
+    for _ in range(4):
+        vb = solve_unrolled(m_r, vb[..., None])[..., 0]
+        vb = vb / jnp.maximum(
+            jnp.linalg.norm(vb, axis=-1, keepdims=True), 1e-30)
+    vbasis = vb  # (..., 12) smallest — the N=1 case
     ctrl_c = vbasis.reshape(vbasis.shape[:-1] + (4, 3))
 
     # fix sign: reconstructed camera points must be in front (mean z > 0)
