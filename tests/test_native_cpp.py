@@ -42,3 +42,42 @@ def test_video_reader_writer_roundtrip(tmp_path):
     assert len(got) == 5
     for orig, dec in zip(frames, got):
         assert abs(int(orig[0, 0, 0]) - int(dec[0, 0, 0])) < 12  # lossy
+
+
+def test_cpp_library_surface(tmp_path):
+    """Compile and run a C++ consumer of the header-only wrapper
+    (kornia_tpu.hpp): image type + PNM io + gray + RVL round-trip —
+    the library-surface binding parity with kornia-cpp's
+    image/io wrapper (VERDICT §2.12)."""
+    import subprocess
+    import textwrap
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1] / "kornia_tpu" / "native"
+    src = tmp_path / "consumer.cpp"
+    src.write_text(textwrap.dedent("""
+        #include <kornia_tpu.hpp>
+        #include <cassert>
+        int main() {
+          kornia::ImageU8 img;
+          img.rows = 4; img.cols = 6; img.channels = 3;
+          img.data.resize(72);
+          for (int i = 0; i < 72; ++i) img.data[i] = (uint8_t)(i * 3);
+          kornia::write_image_pnm("IMG.ppm", img);
+          auto back = kornia::read_image_pnm("IMG.ppm");
+          assert(back.data == img.data);
+          auto gray = kornia::gray_from_rgb(back);
+          assert(gray.channels == 1);
+          std::vector<uint16_t> d(64, 3); d[10] = 500;
+          assert(kornia::rvl_decompress(kornia::rvl_compress(d), 64)
+                 == d);
+          return 0;
+        }
+    """))
+    exe = tmp_path / "consumer"
+    subprocess.run(
+        ["g++", "-O1", "-std=c++17", f"-I{root / 'include'}",
+         str(src), str(root / "rvl.cpp"), str(root / "ccl.cpp"),
+         str(root / "image_io.cpp"), "-o", str(exe)],
+        check=True, capture_output=True)
+    subprocess.run([str(exe)], cwd=tmp_path, check=True)
