@@ -264,13 +264,13 @@ def _process_level(
         # reference contract (extractor.rs + responses.rs:153): FAST
         # proposes ~2x candidates, Harris at the keypoints does the
         # final ranking cut — stabilizes ordering across viewpoints
-        from kornia_tpu.features.responses import harris_at
+        from kornia_tpu.features.responses import harris_at_windows
 
         cand = min(2 * budget, kps.xy.shape[0])
         v0, i0 = jax.lax.top_k(
             jnp.where(kps.mask, kps.score, -jnp.inf), cand)
         xy0 = kps.xy[i0]
-        h = harris_at(gray_f, jnp.round(xy0).astype(jnp.int32))
+        h = harris_at_windows(gray_f, jnp.round(xy0).astype(jnp.int32))
         h = jnp.where(v0 > 0.0, h, -jnp.inf)
         vals, i1 = jax.lax.top_k(h, budget)
         xy = xy0[i1]

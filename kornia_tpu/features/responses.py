@@ -88,3 +88,33 @@ def harris_at(gray: jax.Array, xy: jax.Array, k: float = 0.04, block_size: int =
     ix = jnp.clip(xy[:, 0].astype(jnp.int32), 0, gray.shape[1] - 1)
     iy = jnp.clip(xy[:, 1].astype(jnp.int32), 0, gray.shape[0] - 1)
     return resp[iy, ix]
+
+
+def harris_at_windows(gray_f: jax.Array, xy_int: jax.Array,
+                      k: float = 0.04, block_size: int = 5,
+                      sigma: float = 1.0) -> jax.Array:
+    """Harris response at (N, 2) integer keypoints computed from
+    VMEM-resident keypoint windows instead of a dense response map.
+
+    Same structure-tensor math as :func:`harris_response` restricted to
+    a (block+2)^2 patch per keypoint — ranking-consistent with the
+    dense version away from borders but ~3x cheaper on the ORB path
+    (the dense map cost ~1.3 ms/frame across 4 pyramid levels at
+    752x480; windows ride ops.pallas_kernels.extract_windows_pallas).
+    """
+    from kornia_tpu.ops.pallas_kernels import extract_windows_pallas
+
+    half = block_size // 2
+    r = half + 1                       # + gradient halo
+    win = extract_windows_pallas(gray_f, xy_int)       # (N, 48, 128)
+    patch = win[:, 24 - r: 24 + r + 1, 64 - r: 64 + r + 1]
+    gx = 0.5 * (patch[:, 1:-1, 2:] - patch[:, 1:-1, :-2])
+    gy = 0.5 * (patch[:, 2:, 1:-1] - patch[:, :-2, 1:-1])
+    w1 = gaussian_kernel1d(block_size, sigma)
+    w2 = np.outer(w1, w1).astype(np.float32)
+    sxx = jnp.einsum("nij,ij->n", gx * gx, w2)
+    syy = jnp.einsum("nij,ij->n", gy * gy, w2)
+    sxy = jnp.einsum("nij,ij->n", gx * gy, w2)
+    det = sxx * syy - sxy * sxy
+    tr = sxx + syy
+    return det - k * tr * tr
