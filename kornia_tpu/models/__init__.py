@@ -15,6 +15,12 @@ from kornia_tpu.models.vlm import (
     save_params_npz,
     sample_video_frames,
 )
+from kornia_tpu.models.gemma import GemmaConfig, GemmaLM
+from kornia_tpu.models.paligemma import (
+    PaliGemma,
+    PaliGemmaConfig,
+    build_paligemma,
+)
 from kornia_tpu.models.processor import (
     build_prompt_tokens,
     preprocess_image,
@@ -36,6 +42,11 @@ __all__ = [
     "load_params_npz",
     "save_params_npz",
     "sample_video_frames",
+    "GemmaConfig",
+    "GemmaLM",
+    "PaliGemma",
+    "PaliGemmaConfig",
+    "build_paligemma",
     "preprocess_image",
     "split_into_tiles",
     "build_prompt_tokens",

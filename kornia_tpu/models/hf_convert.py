@@ -127,3 +127,81 @@ def convert_siglip_state_dict(sd: Dict[str, "np.ndarray"],
         out[f"{op}fc2/kernel"] = _t(sd[f"{lp}mlp.fc2.weight"])
         out[f"{op}fc2/bias"] = sd[f"{lp}mlp.fc2.bias"]
     return out
+
+
+def convert_gemma_state_dict(sd: Dict[str, "np.ndarray"],
+                             num_layers: int,
+                             num_heads: int,
+                             num_kv_heads: int,
+                             head_dim: int,
+                             prefix: str = "model.",
+                             out_prefix: str = "params/"
+                             ) -> Dict[str, np.ndarray]:
+    """HF GemmaForCausalLM (tied embeddings) → GemmaLM flat params.
+
+    Gemma's head_dim is an explicit config field (256 for 2B), so it is
+    a parameter here rather than derived from hidden/heads.
+    Reference capability: crates/kornia-vlm/src/paligemma (candle
+    VarBuilder over the same HF layout).
+    """
+    sd = {k: np.asarray(getattr(v, "detach", lambda: v)().cpu()
+                        if hasattr(v, "detach") else v, np.float32)
+          for k, v in sd.items()}
+    hidden = sd[f"{prefix}embed_tokens.weight"].shape[1]
+    hd = head_dim
+    out = {
+        f"{out_prefix}tok_embed/embedding":
+            sd[f"{prefix}embed_tokens.weight"],
+        f"{out_prefix}final_norm/weight": sd[f"{prefix}norm.weight"],
+    }
+    for i in range(num_layers):
+        lp = f"{prefix}layers.{i}."
+        op = f"{out_prefix}layer_{i}/"
+        out[f"{op}attn_norm/weight"] = sd[f"{lp}input_layernorm.weight"]
+        out[f"{op}mlp_norm/weight"] = \
+            sd[f"{lp}post_attention_layernorm.weight"]
+        out[f"{op}q/kernel"] = _t(sd[f"{lp}self_attn.q_proj.weight"]
+                                  ).reshape(hidden, num_heads, hd)
+        out[f"{op}k/kernel"] = _t(sd[f"{lp}self_attn.k_proj.weight"]
+                                  ).reshape(hidden, num_kv_heads, hd)
+        out[f"{op}v/kernel"] = _t(sd[f"{lp}self_attn.v_proj.weight"]
+                                  ).reshape(hidden, num_kv_heads, hd)
+        out[f"{op}o/kernel"] = _t(sd[f"{lp}self_attn.o_proj.weight"]
+                                  ).reshape(num_heads, hd, hidden)
+        out[f"{op}gate/kernel"] = _t(sd[f"{lp}mlp.gate_proj.weight"])
+        out[f"{op}up/kernel"] = _t(sd[f"{lp}mlp.up_proj.weight"])
+        out[f"{op}down/kernel"] = _t(sd[f"{lp}mlp.down_proj.weight"])
+    return out
+
+
+def convert_paligemma_state_dict(sd: Dict[str, "np.ndarray"],
+                                 num_layers: int,
+                                 num_heads: int,
+                                 num_kv_heads: int,
+                                 head_dim: int,
+                                 vision_layers: int,
+                                 vision_heads: int,
+                                 prefix: str = "model.",
+                                 ) -> Dict[str, np.ndarray]:
+    """HF PaliGemmaForConditionalGeneration → PaliGemma flat params.
+
+    Covers the three submodules: SigLIP tower
+    (``model.vision_tower.vision_model.*``), the biased linear
+    projector (``model.multi_modal_projector.linear.*``), and the
+    Gemma decoder (``model.language_model.*``)."""
+    out = convert_gemma_state_dict(
+        sd, num_layers, num_heads, num_kv_heads, head_dim,
+        prefix=f"{prefix}language_model.", out_prefix="params/text/")
+    out.update(convert_siglip_state_dict(
+        sd, vision_layers, vision_heads,
+        prefix=f"{prefix}vision_tower.vision_model.",
+        out_prefix="params/vision/"))
+    def _np(v):
+        return np.asarray(v.detach().cpu() if hasattr(v, "detach") else v,
+                          np.float32)
+
+    out["params/projector/kernel"] = _np(
+        sd[f"{prefix}multi_modal_projector.linear.weight"]).T
+    out["params/projector/bias"] = _np(
+        sd[f"{prefix}multi_modal_projector.linear.bias"])
+    return out

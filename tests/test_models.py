@@ -294,3 +294,149 @@ class TestHFWeightParity:
                      ).last_hidden_state.numpy()
         ours = np.asarray(model.apply(params, jnp.asarray(img)))
         np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=2e-3)
+
+    def test_gemma_logits_parity(self):
+        import numpy as np
+        import torch
+        import jax
+        import jax.numpy as jnp
+        from transformers import GemmaConfig as HFGemmaConfig
+        from transformers import GemmaForCausalLM
+
+        from kornia_tpu.models.gemma import GemmaConfig, GemmaLM
+        from kornia_tpu.models.llm import KVCache
+        from kornia_tpu.models.hf_convert import convert_gemma_state_dict
+        from kornia_tpu.models.vlm import load_params
+
+        torch.manual_seed(2)
+        hf_cfg = HFGemmaConfig(
+            vocab_size=128, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, head_dim=16,
+            max_position_embeddings=64, rope_theta=10000.0,
+            rms_norm_eps=1e-6, tie_word_embeddings=True,
+            attention_bias=False,
+            hidden_activation="gelu_pytorch_tanh")
+        hf = GemmaForCausalLM(hf_cfg).eval()
+
+        cfg = GemmaConfig(vocab_size=128, hidden_size=64,
+                          intermediate_size=128, num_layers=2,
+                          num_heads=4, num_kv_heads=2, head_dim=16,
+                          max_seq_len=16)
+        model = GemmaLM(cfg)
+        tokens = np.array([[3, 17, 99, 5, 42, 7, 0, 11]], np.int32)
+        cache = KVCache.zeros(cfg, 1)
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 8, 64), jnp.float32), cache)
+        upd = convert_gemma_state_dict(
+            hf.state_dict(), num_layers=2, num_heads=4,
+            num_kv_heads=2, head_dim=16)
+        params = load_params(params, upd)
+
+        with torch.no_grad():
+            ref = hf(torch.tensor(tokens.astype(np.int64))).logits.numpy()
+
+        emb = model.apply(params, jnp.asarray(tokens),
+                          method=GemmaLM.embed_tokens)
+        ours, _ = model.apply(params, emb, cache)
+        np.testing.assert_allclose(np.asarray(ours), ref,
+                                   atol=3e-4, rtol=2e-3)
+
+    def test_paligemma_logits_parity(self):
+        """Full-model parity: SigLIP tower + projector + Gemma decoder
+        with the prefix-LM (bidirectional prefill) mask, vs HF
+        PaliGemmaForConditionalGeneration (reference capability:
+        crates/kornia-vlm/src/paligemma/)."""
+        import numpy as np
+        import torch
+        import jax
+        import jax.numpy as jnp
+        from transformers import PaliGemmaConfig as HFPGConfig
+        from transformers import PaliGemmaForConditionalGeneration
+
+        from kornia_tpu.models.gemma import GemmaConfig
+        from kornia_tpu.models.llm import KVCache
+        from kornia_tpu.models.paligemma import (
+            PaliGemma, PaliGemmaConfig, build_paligemma)
+        from kornia_tpu.models.vit import ViTConfig
+        from kornia_tpu.models.hf_convert import (
+            convert_paligemma_state_dict)
+        from kornia_tpu.models.vlm import load_params
+
+        torch.manual_seed(3)
+        hf_cfg = HFPGConfig(
+            vision_config=dict(
+                hidden_size=48, intermediate_size=96,
+                num_hidden_layers=2, num_attention_heads=4,
+                image_size=28, patch_size=14,
+                hidden_act="gelu_pytorch_tanh"),
+            text_config=dict(
+                vocab_size=260, hidden_size=64, intermediate_size=128,
+                num_hidden_layers=2, num_attention_heads=4,
+                num_key_value_heads=2, head_dim=16,
+                max_position_embeddings=64, rope_theta=10000.0,
+                rms_norm_eps=1e-6, tie_word_embeddings=True,
+                attention_bias=False,
+                hidden_activation="gelu_pytorch_tanh"),
+            image_token_index=250, projection_dim=64)
+        hf = PaliGemmaForConditionalGeneration(hf_cfg).eval()
+
+        cfg = PaliGemmaConfig(
+            vision=ViTConfig(image_size=28, patch_size=14,
+                             hidden_size=48, intermediate_size=96,
+                             num_layers=2, num_heads=4),
+            text=GemmaConfig(vocab_size=260, hidden_size=64,
+                             intermediate_size=128, num_layers=2,
+                             num_heads=4, num_kv_heads=2, head_dim=16,
+                             max_seq_len=16),
+            image_token_id=250)
+        model, params = build_paligemma(cfg)
+        upd = convert_paligemma_state_dict(
+            hf.state_dict(), num_layers=2, num_heads=4,
+            num_kv_heads=2, head_dim=16,
+            vision_layers=2, vision_heads=4)
+        params = load_params(params, upd)
+
+        rng = np.random.default_rng(5)
+        img = rng.normal(0, 0.5, (1, 28, 28, 3)).astype(np.float32)
+        # 4 image placeholder tokens (28/14 squared) + prompt
+        tokens = np.array([[250, 250, 250, 250, 2, 17, 42, 9]], np.int32)
+
+        with torch.no_grad():
+            ref = hf(
+                input_ids=torch.tensor(tokens.astype(np.int64)),
+                pixel_values=torch.tensor(img.transpose(0, 3, 1, 2)),
+            ).logits.numpy()
+
+        cache = KVCache.zeros(cfg.text, 1)
+        ours, _ = model.apply(params, jnp.asarray(tokens),
+                              jnp.asarray(img), cache)
+        np.testing.assert_allclose(np.asarray(ours), ref,
+                                   atol=3e-4, rtol=2e-3)
+
+    def test_paligemma_generate(self):
+        """The shared scan-generation loop drives PaliGemma (same call
+        surface as SmolVLM)."""
+        import numpy as np
+        from kornia_tpu.models.gemma import GemmaConfig
+        from kornia_tpu.models.paligemma import (
+            PaliGemmaConfig, build_paligemma)
+        from kornia_tpu.models.vit import ViTConfig
+        from kornia_tpu.models.vlm import generate
+
+        cfg = PaliGemmaConfig(
+            vision=ViTConfig(image_size=28, patch_size=14,
+                             hidden_size=32, intermediate_size=64,
+                             num_layers=1, num_heads=2),
+            text=GemmaConfig(vocab_size=64, hidden_size=32,
+                             intermediate_size=64, num_layers=1,
+                             num_heads=2, num_kv_heads=1, head_dim=16,
+                             max_seq_len=32),
+            image_token_id=60)
+        model, params = build_paligemma(cfg)
+        tokens = np.array([[60, 60, 60, 60, 2, 5]], np.int32)
+        img = np.zeros((1, 28, 28, 3), np.float32)
+        res = generate(model, params, tokens, img, max_new_tokens=6,
+                       eos_token_id=1)
+        assert res.tokens.shape == (1, 6)
+        assert int(res.n_generated[0]) <= 6
