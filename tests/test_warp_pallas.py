@@ -156,6 +156,43 @@ def test_warp_perspective_exact(img_u8):
     assert np.abs(out - ref).max() <= 1
 
 
+def test_warp_affine_banded_path(img_u8, monkeypatch):
+    """Regression: the banded executor (source too tall for VMEM) must
+    match the single-call path. Round 2 found the kernel comparing the
+    map's GLOBAL source rows against BAND-RELATIVE row bases — every
+    band with band0 > 0 resolved rows offset by band0, corrupting all
+    warps big enough to band (>= ~1024px rotations) while the
+    small-image suite stayed green. Forcing tiny bands makes the
+    123x310 fixture exercise band0 > 0."""
+    import kornia_tpu.ops.warp_pallas as wp
+    h, w = img_u8.shape
+    m = np.asarray(get_rotation_matrix2d((w / 2, h / 2), 30.0, 1.0))
+    from kornia_tpu.ops.warp import warp_affine
+    ref = np.asarray(warp_affine(jnp.asarray(img_u8), jnp.asarray(m),
+                                 (h, w), method="gather")).astype(int)
+    monkeypatch.setattr(wp, "_SRC_VMEM_LIMIT", 1)
+    monkeypatch.setattr(wp, "_BAND_DH", 32)
+    monkeypatch.setattr(wp, "_HB_MAX", 128)
+    out = np.asarray(warp_affine_exact(
+        jnp.asarray(img_u8), jnp.asarray(m), (h, w),
+        fallback=False)).astype(int)
+    assert np.abs(out - ref).max() <= 1
+
+
+def test_remap_banded_path(img_u8, smooth_maps, monkeypatch):
+    """Same regression for the no-shear remap flavor of the banded
+    executor (tall undistortion maps band too)."""
+    import kornia_tpu.ops.warp_pallas as wp
+    mx, my = smooth_maps
+    ref = _gather_ref(img_u8, mx, my)
+    monkeypatch.setattr(wp, "_SRC_VMEM_LIMIT", 1)
+    monkeypatch.setattr(wp, "_BAND_DH", 32)
+    monkeypatch.setattr(wp, "_HB_MAX", 64)
+    out = np.asarray(remap_exact(jnp.asarray(img_u8), jnp.asarray(mx),
+                                 jnp.asarray(my), fallback=False))
+    np.testing.assert_array_equal(out, ref)
+
+
 def test_undistort_rides_pallas(img_u8):
     """undistort_image routes through remap -> remap_exact now."""
     from kornia_tpu.geometry.camera import undistort_image
