@@ -225,6 +225,40 @@ def _fit_quad(px: np.ndarray, py: np.ndarray,
     return q
 
 
+def _native_quads(threshim: np.ndarray,
+                  cfg: "DetectorConfig") -> Optional[List[np.ndarray]]:
+    """Fused native mid-pipeline: CCL + boundary clustering + filter +
+    quad fit in one C++ call (native/apriltag_mid.cpp; reference runs
+    these stages fused at SIMD rate — rle_cc.rs/segmentation.rs/quad.rs).
+    Returns a list of (4, 2) quads or None when the native library is
+    unavailable (callers fall back to the numpy stages)."""
+    import ctypes
+
+    from kornia_tpu.native import load_native_library
+
+    lib = load_native_library()
+    if lib is None or not hasattr(lib, "kornia_apriltag_quads"):
+        return None
+    fn = lib.kornia_apriltag_quads
+    fn.restype = ctypes.c_int64
+    fn.argtypes = [ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                   ctypes.c_int64, ctypes.c_uint8,
+                   ctypes.c_int32, ctypes.c_int32, ctypes.c_float,
+                   ctypes.POINTER(ctypes.c_float), ctypes.c_int64]
+    t = np.ascontiguousarray(threshim, np.uint8)
+    max_quads = 4096
+    out = np.empty((max_quads, 4, 2), np.float32)
+    nq = fn(t.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            t.shape[0], t.shape[1], thr_mod.UNKNOWN,
+            cfg.min_cluster_pixels, cfg.max_cluster_pixels,
+            cfg.min_tag_area,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            max_quads)
+    if nq < 0:
+        return None
+    return [out[i].astype(np.float64) for i in range(int(nq))]
+
+
 def _bilinear_sample(img: np.ndarray, pts: np.ndarray) -> np.ndarray:
     h, w = img.shape
     x = np.clip(pts[:, 0], 0, w - 1.001)
@@ -279,39 +313,47 @@ class AprilTagDecoder:
         threshim = np.asarray(thr_mod.adaptive_threshold(
             jnp.asarray(gray_d), cfg.tile_size, cfg.min_white_black_diff))
         mark("threshold[TPU]")
-        labels = label_classes_host(threshim, skip=thr_mod.UNKNOWN)
-        mark("ccl[native C++]")
 
-        keys, x2, y2 = _boundary_points(threshim, labels)
-        mark("boundary[host]")
-        if keys.size == 0:
-            return []
-        order = np.argsort(keys, kind="stable")
-        keys, x2, y2 = keys[order], x2[order], y2[order]
-        uniq, starts = np.unique(keys, return_index=True)
-        ends = np.r_[starts[1:], keys.size]
-
-        # vectorized cluster prefilter: size + bounding-box area bounds
-        # (reference: quad.rs rejects clusters before the expensive fit)
-        npts_all = ends - starts
-        bbox_w = (np.maximum.reduceat(x2, starts)
-                  - np.minimum.reduceat(x2, starts)) / 2.0
-        bbox_h = (np.maximum.reduceat(y2, starts)
-                  - np.minimum.reduceat(y2, starts)) / 2.0
-        keep = ((npts_all >= cfg.min_cluster_pixels)
-                & (npts_all <= cfg.max_cluster_pixels)
-                & (bbox_w * bbox_h >= cfg.min_tag_area)
-                & (npts_all <= 6 * (bbox_w + bbox_h) + 16))
-
-        mark("cluster_filter[host]")
         detections: List[Detection] = []
         scale = float(cfg.quad_decimate)
-        quads = []
-        for s, e in zip(starts[keep], ends[keep]):
-            quad = _fit_quad(x2[s:e] / 2.0, y2[s:e] / 2.0, cfg)
-            if quad is not None:
-                quads.append(quad)
-        mark("quad_fit[host]")
+        use_native = os.environ.get(
+            "KORNIA_TPU_APRILTAG_MID", "native") != "numpy"
+        quads = _native_quads(threshim, cfg) if use_native else None
+        if quads is not None:
+            mark("ccl+cluster+quads[native C++]")
+        else:
+            labels = label_classes_host(threshim, skip=thr_mod.UNKNOWN)
+            mark("ccl[native C++]")
+
+            keys, x2, y2 = _boundary_points(threshim, labels)
+            mark("boundary[host]")
+            if keys.size == 0:
+                return []
+            order = np.argsort(keys, kind="stable")
+            keys, x2, y2 = keys[order], x2[order], y2[order]
+            uniq, starts = np.unique(keys, return_index=True)
+            ends = np.r_[starts[1:], keys.size]
+
+            # vectorized cluster prefilter: size + bounding-box area
+            # bounds (reference: quad.rs rejects clusters before the
+            # expensive fit)
+            npts_all = ends - starts
+            bbox_w = (np.maximum.reduceat(x2, starts)
+                      - np.minimum.reduceat(x2, starts)) / 2.0
+            bbox_h = (np.maximum.reduceat(y2, starts)
+                      - np.minimum.reduceat(y2, starts)) / 2.0
+            keep = ((npts_all >= cfg.min_cluster_pixels)
+                    & (npts_all <= cfg.max_cluster_pixels)
+                    & (bbox_w * bbox_h >= cfg.min_tag_area)
+                    & (npts_all <= 6 * (bbox_w + bbox_h) + 16))
+
+            mark("cluster_filter[host]")
+            quads = []
+            for s, e in zip(starts[keep], ends[keep]):
+                quad = _fit_quad(x2[s:e] / 2.0, y2[s:e] / 2.0, cfg)
+                if quad is not None:
+                    quads.append(quad)
+            mark("quad_fit[host]")
         for quad in quads:
             det = self._decode_quad(full, quad * scale)
             if det is not None:

@@ -208,6 +208,7 @@ class TestParamIO:
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+@pytest.mark.slow
 class TestHFWeightParity:
     """Weight-level validation against real HF implementations
     (VERDICT.md missing #8): tiny torch models are instantiated

@@ -156,6 +156,7 @@ def test_warp_perspective_exact(img_u8):
     assert np.abs(out - ref).max() <= 1
 
 
+@pytest.mark.slow
 def test_warp_affine_banded_path(img_u8, monkeypatch):
     """Regression: the banded executor (source too tall for VMEM) must
     match the single-call path. Round 2 found the kernel comparing the
@@ -179,6 +180,7 @@ def test_warp_affine_banded_path(img_u8, monkeypatch):
     assert np.abs(out - ref).max() <= 1
 
 
+@pytest.mark.slow
 def test_remap_banded_path(img_u8, smooth_maps, monkeypatch):
     """Same regression for the no-shear remap flavor of the banded
     executor (tall undistortion maps band too)."""
