@@ -7,5 +7,7 @@ from kornia_tpu.parallel import ba_dist
 from kornia_tpu.parallel import pgo_dist
 from kornia_tpu.parallel import exchange
 from kornia_tpu.parallel import frontend_dist
+from kornia_tpu.parallel import resilience
 
-__all__ = ["mesh", "ba_dist", "pgo_dist", "exchange", "frontend_dist"]
+__all__ = ["mesh", "ba_dist", "pgo_dist", "exchange", "frontend_dist",
+           "resilience"]
