@@ -21,6 +21,10 @@ def main():
     p = base_parser(__doc__)
     p.add_argument("--image", default=DOG_JPEG)
     p.add_argument("--max-new", type=int, default=16)
+    p.add_argument("--arch", default="smolvlm",
+                   choices=("smolvlm", "paligemma"),
+                   help="model family (reference: examples/smol_vlm* "
+                        "vs examples/paligemma)")
     args = p.parse_args()
     configure_backend(args)
 
@@ -29,16 +33,29 @@ def main():
     from kornia_tpu import io as kio
     from kornia_tpu import models as M
 
-    cfg = M.VLMConfig(
-        vision=M.ViTConfig(image_size=112, patch_size=14, hidden_size=64,
-                           intermediate_size=128, num_layers=2,
-                           num_heads=4),
-        text=M.LLMConfig(vocab_size=512, hidden_size=64,
-                         intermediate_size=128, num_layers=2, num_heads=4,
-                         num_kv_heads=2, max_seq_len=128),
-        pixel_shuffle_factor=2, image_token_id=500)
-    model, params = M.build_vlm(cfg, seed=0)
-    print(f"model: {cfg.vision.num_layers}-layer ViT + "
+    if args.arch == "paligemma":
+        cfg = M.PaliGemmaConfig(
+            vision=M.ViTConfig(image_size=112, patch_size=14,
+                               hidden_size=64, intermediate_size=128,
+                               num_layers=2, num_heads=4),
+            text=M.GemmaConfig(vocab_size=512, hidden_size=64,
+                               intermediate_size=128, num_layers=2,
+                               num_heads=4, num_kv_heads=1, head_dim=16,
+                               max_seq_len=128),
+            image_token_id=500)
+        model, params = M.build_paligemma(cfg, seed=0)
+    else:
+        cfg = M.VLMConfig(
+            vision=M.ViTConfig(image_size=112, patch_size=14,
+                               hidden_size=64, intermediate_size=128,
+                               num_layers=2, num_heads=4),
+            text=M.LLMConfig(vocab_size=512, hidden_size=64,
+                             intermediate_size=128, num_layers=2,
+                             num_heads=4, num_kv_heads=2,
+                             max_seq_len=128),
+            pixel_shuffle_factor=2, image_token_id=500)
+        model, params = M.build_vlm(cfg, seed=0)
+    print(f"{args.arch}: {cfg.vision.num_layers}-layer ViT + "
           f"{cfg.text.num_layers}-layer decoder, "
           f"{cfg.tokens_per_image} tokens/image")
 
