@@ -49,6 +49,18 @@ int64_t kornia_ccl_label(const uint8_t* mask, int64_t h, int64_t w,
 int64_t kornia_ccl_label_classes(const uint8_t* img, int64_t h, int64_t w,
                                  uint8_t skip, int32_t* labels);
 
+/* ------------------------------------------------------------- AprilTag
+ * Fused mid-pipeline: CCL + black/white boundary clustering + cluster
+ * filtering + quad fitting over a thresholded image (0 black /
+ * 255 white / `skip` unknown). Writes up to max_quads quads as 8
+ * floats each (CCW xy corners in image coords). Returns the number of
+ * quads written, or -1 on bad input. */
+int64_t kornia_apriltag_quads(const uint8_t* threshim, int64_t h,
+                              int64_t w, uint8_t skip,
+                              int32_t min_cluster, int32_t max_cluster,
+                              float min_tag_area,
+                              float* quads_out, int64_t max_quads);
+
 #ifdef __cplusplus
 }  /* extern "C" */
 #endif

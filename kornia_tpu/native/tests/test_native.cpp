@@ -9,6 +9,7 @@
 #include <cassert>
 #include <cstdio>
 #include <cstring>
+#include <algorithm>
 #include <random>
 #include <vector>
 
@@ -53,9 +54,35 @@ static void test_ccl() {
     std::printf("ccl ok (%lld components)\n", static_cast<long long>(k));
 }
 
+static void test_apriltag_quads() {
+    // 64x64: white field with a 24x24 black square at (16,16): its
+    // black/white boundary must fit as one quad near those corners
+    const int64_t h = 64, w = 64;
+    std::vector<uint8_t> thr(h * w, 255);
+    for (int64_t y = 16; y < 40; ++y)
+        for (int64_t x = 16; x < 40; ++x) thr[y * w + x] = 0;
+    float quads[4 * 8];
+    const int64_t nq = kornia_apriltag_quads(
+        thr.data(), h, w, /*skip=*/127, /*min_cluster=*/24,
+        /*max_cluster=*/50000, /*min_tag_area=*/64.f, quads, 4);
+    assert(nq == 1);
+    float xmin = 1e9f, xmax = -1e9f, ymin = 1e9f, ymax = -1e9f;
+    for (int i = 0; i < 4; ++i) {
+        xmin = std::min(xmin, quads[2 * i]);
+        xmax = std::max(xmax, quads[2 * i]);
+        ymin = std::min(ymin, quads[2 * i + 1]);
+        ymax = std::max(ymax, quads[2 * i + 1]);
+    }
+    assert(xmin > 13.f && xmin < 18.f && xmax > 37.f && xmax < 42.f);
+    assert(ymin > 13.f && ymin < 18.f && ymax > 37.f && ymax < 42.f);
+    std::printf("apriltag quads ok (%lld quad)\n",
+                static_cast<long long>(nq));
+}
+
 int main() {
     test_rvl_roundtrip();
     test_ccl();
+    test_apriltag_quads();
     std::printf("NATIVE CPP TESTS PASSED\n");
     return 0;
 }

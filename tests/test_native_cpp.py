@@ -15,7 +15,8 @@ def test_cpp_consumer(tmp_path):
     exe = str(tmp_path / "test_native")
     srcs = [os.path.join(NATIVE, "tests", "test_native.cpp"),
             os.path.join(NATIVE, "rvl.cpp"),
-            os.path.join(NATIVE, "ccl.cpp")]
+            os.path.join(NATIVE, "ccl.cpp"),
+            os.path.join(NATIVE, "apriltag_mid.cpp")]
     subprocess.run(
         ["g++", "-O2", "-std=c++17", "-o", exe, *srcs],
         check=True, capture_output=True)
