@@ -328,3 +328,75 @@ def orb_detect_and_describe(gray_u8: jax.Array, cfg: OrbConfig = OrbConfig()) ->
     desc = jnp.concatenate([p[4] for p in parts])
     mask = jnp.concatenate([p[5] for p in parts])
     return OrbFeatures(xy=xy, score=score, angle=ang, octave=octv, descriptors=desc, mask=mask)
+
+
+def orb_detect_and_describe_quadtree(
+    gray_u8: jax.Array, cfg: OrbConfig = OrbConfig()) -> OrbFeatures:
+    """ORB with the literal ORB-SLAM3 quadtree distribution
+    (reference extractor.rs:93 ExtractorNode::divide).
+
+    Host-orchestrated: per-level FAST candidates come off the device,
+    the (data-dependent) quadtree selects on host, and the
+    orientation+BRIEF describe runs on device at the selected
+    positions. The fully-jitted default (per-cell caps + global top-k)
+    remains :func:`orb_detect_and_describe`; PARITY.md documents the
+    measured distribution equivalence between the two.
+    """
+    from kornia_tpu.features.quadtree import distribute_quadtree
+
+    budgets = _level_budgets(cfg)
+    h, w = gray_u8.shape
+    levels = [gray_u8]
+    for i in range(1, cfg.n_levels):
+        s = cfg.scale_factor**i
+        nh, nw = int(round(h / s)), int(round(w / s))
+        levels.append(resize(levels[-1], (nh, nw), mode="bilinear"))
+
+    parts = []
+    for i, (img, budget) in enumerate(zip(levels, budgets)):
+        lh, lw = img.shape
+        n_cells = (-(-lh // cfg.cell_size)) * (-(-lw // cfg.cell_size))
+        per_cell = max(2, -(-2 * budget // n_cells))
+        kps = fast_detect_cells(
+            img,
+            cell_size=cfg.cell_size,
+            threshold_high=cfg.fast_threshold_high,
+            threshold_low=cfg.fast_threshold_low,
+            per_cell=per_cell,
+        )
+        xy_np = np.asarray(kps.xy)
+        sc_np = np.asarray(jnp.where(kps.mask, kps.score, -jnp.inf))
+        valid = sc_np > 0.0
+        sel = distribute_quadtree(
+            xy_np[valid], sc_np[valid], budget, lw, lh)
+        chosen = np.nonzero(valid)[0][sel]
+        # fixed-shape device describe: pad the selection to the budget
+        pad = budget - len(chosen)
+        idx = np.concatenate([chosen, np.zeros(pad, np.int64)])
+        vmask = np.arange(budget) < len(chosen)
+
+        gray_f = img.astype(jnp.float32)
+        xy = jnp.asarray(xy_np[idx])
+        xy_int = jnp.round(xy).astype(jnp.int32)
+        blurred = gaussian_blur(gray_f[..., None], (7, 7), 2.0)[..., 0]
+        ang = orientation_from_windows(_extract_windows(gray_f, xy_int))
+        desc = brief_from_windows(
+            _extract_windows(blurred, xy_int), ang, cfg.pattern_seed)
+        parts.append((
+            xy * (cfg.scale_factor**i),
+            jnp.asarray(np.where(vmask, sc_np[idx], 0.0)
+                        .astype(np.float32)),
+            ang,
+            jnp.full((budget,), i, jnp.int32),
+            desc,
+            jnp.asarray(vmask),
+        ))
+
+    return OrbFeatures(
+        xy=jnp.concatenate([p[0] for p in parts]),
+        score=jnp.concatenate([p[1] for p in parts]),
+        angle=jnp.concatenate([p[2] for p in parts]),
+        octave=jnp.concatenate([p[3] for p in parts]),
+        descriptors=jnp.concatenate([p[4] for p in parts]),
+        mask=jnp.concatenate([p[5] for p in parts]),
+    )

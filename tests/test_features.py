@@ -257,3 +257,65 @@ def test_approx_topk_detection_quality(gray_small):
     if missed:
         thresh = np.quantile(flat[list(exact_set)], 0.5)
         assert all(flat[m] <= thresh for m in missed)
+
+
+class TestQuadtreeDistribution:
+    """Literal ORB-SLAM3 quadtree (reference extractor.rs:93
+    ExtractorNode::divide) — VERDICT missing #5."""
+
+    def test_selects_target_and_dedups_clusters(self):
+        from kornia_tpu.features.quadtree import distribute_quadtree
+
+        rng = np.random.default_rng(3)
+        # 300 points crammed into one corner + 60 spread out: naive
+        # top-k would drown in the cluster; the quadtree must keep the
+        # spread points even though cluster scores are higher
+        cluster = rng.uniform(0, 40, (300, 2))
+        spread = rng.uniform(0, 640, (60, 2))
+        xy = np.concatenate([cluster, spread])
+        scores = np.concatenate([
+            rng.uniform(50, 100, 300), rng.uniform(1, 40, 60)])
+        sel = distribute_quadtree(xy, scores, 64, 640.0, 480.0)
+        assert 0 < len(sel) <= 64
+        n_spread = (sel >= 300).sum()
+        assert n_spread >= 30, f"quadtree kept only {n_spread} spread pts"
+
+    def test_few_candidates_passthrough(self):
+        from kornia_tpu.features.quadtree import distribute_quadtree
+
+        xy = np.array([[1.0, 2.0], [3.0, 4.0]])
+        sel = distribute_quadtree(xy, np.array([1.0, 5.0]), 10, 64, 64)
+        assert sel.tolist() == [1, 0]   # all kept, best first
+
+    def test_orb_quadtree_spread_and_quality(self, dog_rgb):
+        """The quadtree pipeline must match the default path's e2e
+        quality protocol and at least match its spatial spread."""
+        from kornia_tpu.features.quadtree import occupancy
+
+        gray = cv2.cvtColor(dog_rgb, cv2.COLOR_RGB2GRAY)
+        gray = cv2.resize(gray, (480, 360))
+        h, w = gray.shape
+        cfg = O.OrbConfig(n_features=512, n_levels=3)
+        fq = O.orb_detect_and_describe_quadtree(jnp.asarray(gray), cfg)
+        fc = O.orb_detect_and_describe(jnp.asarray(gray), cfg)
+        mq = np.asarray(fq.mask)
+        assert mq.sum() >= 256
+        occ_q = occupancy(np.asarray(fq.xy)[mq], w, h)
+        occ_c = occupancy(np.asarray(fc.xy)[np.asarray(fc.mask)], w, h)
+        assert occ_q >= occ_c - 0.05, (occ_q, occ_c)
+
+        # e2e match gate against a warped copy (same protocol as the
+        # default path)
+        m = cv2.getRotationMatrix2D((w / 2, h / 2), 15.0, 1.0)
+        warped = cv2.warpAffine(gray, m, (w, h))
+        fb = O.orb_detect_and_describe_quadtree(jnp.asarray(warped), cfg)
+        matches = M.match_descriptors(
+            fq.descriptors, fb.descriptors, a_mask=fq.mask,
+            b_mask=fb.mask, max_distance=64, ratio=0.8)
+        ok = np.asarray(matches.mask)
+        assert ok.sum() >= 25, f"only {ok.sum()} matches"
+        xy_a = np.asarray(fq.xy)[ok]
+        xy_b = np.asarray(fb.xy)[np.asarray(matches.idx)[ok]]
+        gt = xy_a @ m[:, :2].T + m[:, 2]
+        err = np.linalg.norm(gt - xy_b, axis=1)
+        assert (err < 3.0).mean() > 0.5
