@@ -44,6 +44,13 @@ from kornia_tpu.io.datasets import (
     KittiOdometryDataset,
 )
 from kornia_tpu.io.fps_counter import FpsCounter
+from kornia_tpu.io.video import (
+    CameraCapture,
+    NativeCapture,
+    VideoError,
+    VideoReader,
+    VideoWriter,
+)
 
 __all__ = [
     "read_image_any_rgb8",
@@ -68,6 +75,11 @@ __all__ = [
     "read_pcd",
     "write_pcd",
     "ColmapCamera",
+    "CameraCapture",
+    "NativeCapture",
+    "VideoError",
+    "VideoReader",
+    "VideoWriter",
     "ColmapImage",
     "ColmapPoint3d",
     "read_cameras_txt",

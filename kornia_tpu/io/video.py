@@ -137,3 +137,79 @@ class CameraCapture:
 
     def __exit__(self, *exc):
         self.release()
+
+
+class NativeCapture:
+    """Native (C++) capture: real V4L2 mmap streaming or a
+    directory-backed virtual camera, no OpenCV involved.
+
+    Reference: V4lVideoCapture (v4l/mod.rs:184) — mmap ring, pixel
+    format negotiation (YUYV → RGB24 → GREY), BT.601 YUYV→RGB.
+    ``uri`` is ``"v4l2:/dev/video0"`` (or a bare /dev path) for
+    hardware, ``"dir:/path"`` (or a bare directory) to loop the
+    .ppm/.pgm frames in a directory through the identical grab API —
+    the testable stand-in for a camera in headless environments.
+
+    >>> with NativeCapture("dir:frames/") as cap:
+    ...     rgb = cap.grab_frame()        # (H, W, 3) u8 RGB
+    """
+
+    def __init__(self, uri: str, size_hw: Optional[Tuple[int, int]] = None):
+        import ctypes
+
+        from kornia_tpu.native import load_native_library
+
+        lib = load_native_library()
+        if lib is None or not hasattr(lib, "kornia_capture_open"):
+            raise VideoError("native capture library unavailable")
+        lib.kornia_capture_open.restype = ctypes.c_void_p
+        lib.kornia_capture_open.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64]
+        lib.kornia_capture_grab.restype = ctypes.c_int64
+        lib.kornia_capture_grab.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64)]
+        lib.kornia_capture_close.restype = None
+        lib.kornia_capture_close.argtypes = [ctypes.c_void_p]
+        lib.kornia_capture_error.restype = ctypes.c_char_p
+        self._lib = lib
+        self._ct = ctypes
+        h, w = size_hw if size_hw is not None else (0, 0)
+        self._cap = lib.kornia_capture_open(uri.encode(), w, h)
+        if not self._cap:
+            raise VideoError(
+                f"cannot open {uri}: "
+                f"{lib.kornia_capture_error().decode()}")
+        self._buf = np.empty(0, np.uint8)
+
+    def grab_frame(self) -> np.ndarray:
+        """(H, W, 3) u8 RGB (reference grab_frame, v4l/mod.rs:287)."""
+        ct = self._ct
+        oh = ct.c_int64()
+        ow = ct.c_int64()
+        for _ in range(2):
+            rc = self._lib.kornia_capture_grab(
+                self._cap,
+                self._buf.ctypes.data_as(ct.POINTER(ct.c_uint8)),
+                self._buf.size, ct.byref(oh), ct.byref(ow))
+            if rc == 0:
+                return (self._buf[: oh.value * ow.value * 3]
+                        .reshape(oh.value, ow.value, 3).copy())
+            if rc == -2:       # grow to the reported frame size
+                self._buf = np.empty(oh.value * ow.value * 3, np.uint8)
+                continue
+            raise VideoError(
+                f"grab failed: {self._lib.kornia_capture_error().decode()}")
+        raise VideoError("grab failed: buffer negotiation loop")
+
+    def release(self) -> None:
+        if self._cap:
+            self._lib.kornia_capture_close(self._cap)
+            self._cap = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.release()

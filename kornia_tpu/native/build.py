@@ -8,7 +8,7 @@ import subprocess
 import threading
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SOURCES = ("rvl.cpp", "ccl.cpp", "image_io.cpp", "apriltag_mid.cpp")
+_SOURCES = ("rvl.cpp", "ccl.cpp", "image_io.cpp", "apriltag_mid.cpp", "capture.cpp")
 _LIB_NAME = "_kornia_native.so"
 
 _lock = threading.Lock()

@@ -311,3 +311,72 @@ class TestFpsCounter:
         assert fps.fps() > 0
         fps.reset()
         assert fps.fps() == 0.0
+
+
+class TestNativeCapture:
+    """Native C++ capture layer (reference V4lVideoCapture,
+    v4l/mod.rs:184 — mmap streaming + format negotiation). The
+    directory-backed virtual camera drives the identical grab API so
+    the full native path is exercised without camera hardware."""
+
+    def test_dir_capture_roundtrip(self, tmp_path):
+        import ctypes
+
+        from kornia_tpu.io import NativeCapture
+        from kornia_tpu.native import load_native_library
+
+        lib = load_native_library()
+        if lib is None:
+            pytest.skip("native library unavailable")
+        fn = lib.kornia_image_write_pnm
+        fn.restype = ctypes.c_int64
+        fn.argtypes = [ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8),
+                       ctypes.c_int64, ctypes.c_int64, ctypes.c_int64]
+        rng = np.random.default_rng(0)
+        frames = [rng.integers(0, 256, (48, 64, 3), np.uint8)
+                  for _ in range(3)]
+        for i, f in enumerate(frames):
+            fc = np.ascontiguousarray(f)
+            assert fn(str(tmp_path / f"f{i}.ppm").encode(),
+                      fc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                      48, 64, 3) == 0
+        with NativeCapture("dir:" + str(tmp_path)) as cap:
+            for i in range(5):      # loops past the end
+                np.testing.assert_array_equal(cap.grab_frame(),
+                                              frames[i % 3])
+
+    def test_dir_capture_gray_promotes_to_rgb(self, tmp_path):
+        import ctypes
+
+        from kornia_tpu.io import NativeCapture
+        from kornia_tpu.native import load_native_library
+
+        lib = load_native_library()
+        if lib is None:
+            pytest.skip("native library unavailable")
+        fn = lib.kornia_image_write_pnm
+        fn.restype = ctypes.c_int64
+        fn.argtypes = [ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8),
+                       ctypes.c_int64, ctypes.c_int64, ctypes.c_int64]
+        g = np.random.default_rng(1).integers(
+            0, 256, (32, 40), np.uint8)
+        gc = np.ascontiguousarray(g)
+        assert fn(str(tmp_path / "g.pgm").encode(),
+                  gc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                  32, 40, 1) == 0
+        with NativeCapture(str(tmp_path)) as cap:   # bare dir uri
+            rgb = cap.grab_frame()
+        assert rgb.shape == (32, 40, 3)
+        np.testing.assert_array_equal(rgb[:, :, 0], g)
+        np.testing.assert_array_equal(rgb[:, :, 1], g)
+
+    def test_missing_device_errors_cleanly(self):
+        from kornia_tpu.io import NativeCapture, VideoError
+        from kornia_tpu.native import native_available
+
+        if not native_available():
+            pytest.skip("native library unavailable")
+        with pytest.raises(VideoError, match="video99"):
+            NativeCapture("v4l2:/dev/video99")
+        with pytest.raises(VideoError):
+            NativeCapture("dir:/nonexistent_dir_xyz")
