@@ -116,17 +116,28 @@ def box_blur(img: jax.Array, ksize: Tuple[int, int], border: str = "reflect") ->
     return out[..., 0] if squeeze else out
 
 
+# cv2.getDerivKernels 1st-order pairs (deriv, smooth) per aperture:
+# smooth = binomial row of order ksize-1; deriv = binomial ⊛ [-1, 0, 1]
 _SOBEL = {
-    1: (np.array([-1.0, 0.0, 1.0], np.float32), np.array([1.0, 2.0, 1.0], np.float32)),
+    1: (np.array([-1.0, 0.0, 1.0], np.float32),
+        np.array([1.0], np.float32)),
+    3: (np.array([-1.0, 0.0, 1.0], np.float32),
+        np.array([1.0, 2.0, 1.0], np.float32)),
+    5: (np.array([-1.0, -2.0, 0.0, 2.0, 1.0], np.float32),
+        np.array([1.0, 4.0, 6.0, 4.0, 1.0], np.float32)),
+    7: (np.array([-1.0, -4.0, -5.0, 0.0, 5.0, 4.0, 1.0], np.float32),
+        np.array([1.0, 6.0, 15.0, 20.0, 15.0, 6.0, 1.0], np.float32)),
 }
 
 
 def sobel(img: jax.Array, dx: int, dy: int, ksize: int = 3) -> jax.Array:
-    """First-order Sobel derivative, float32 output (cv2.Sobel CV_32F)."""
+    """First-order Sobel derivative, float32 output (cv2.Sobel CV_32F);
+    apertures 1/3/5/7 (cv2.getDerivKernels binomial construction)."""
     x, squeeze = _with_channels(img)
-    if ksize != 3:
-        raise NotImplementedError("only ksize=3 supported")
-    deriv, smooth = _SOBEL[1]
+    if ksize not in _SOBEL:
+        raise ValueError(f"sobel ksize must be one of {sorted(_SOBEL)}, "
+                         f"got {ksize}")
+    deriv, smooth = _SOBEL[ksize]
     ky = deriv if dy else smooth
     kx = deriv if dx else smooth
     out = _conv_sep(x, ky, kx, "reflect")

@@ -45,6 +45,19 @@ class TestBoxSobel:
         ref = cv2.Sobel(gray_small.astype(np.float32), cv2.CV_32F, 0, 1, ksize=3)
         np.testing.assert_allclose(ours, ref, atol=1e-3)
 
+    def test_sobel_apertures(self, gray_small):
+        """cv2.getDerivKernels parity for ksize 1/5/7 (the round-1
+        `only ksize=3` stub is gone)."""
+        g = gray_small.astype(np.float32)
+        for ksize in (1, 5, 7):
+            for dx, dy in ((1, 0), (0, 1)):
+                ours = _np(filters.sobel(jnp.asarray(g), dx, dy,
+                                         ksize=ksize))
+                ref = cv2.Sobel(g, cv2.CV_32F, dx, dy, ksize=ksize)
+                np.testing.assert_allclose(
+                    ours, ref, atol=1e-2,
+                    err_msg=f"ksize={ksize} dx={dx} dy={dy}")
+
     def test_filter2d(self, gray_small):
         k = np.array([[0, -1, 0], [-1, 5, -1], [0, -1, 0]], np.float32)
         ours = _np(filters.filter2d(jnp.asarray(gray_small), jnp.asarray(k))).astype(np.int32)
