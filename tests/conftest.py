@@ -58,6 +58,7 @@ _SLOW_TESTS = {
     "test_twoview_with_5pt_solver",
     "test_exact_cases",
     "test_rotation_u8",
+    "test_orb_quadtree_spread_and_quality",
 }
 
 

@@ -74,3 +74,8 @@ def test_two_view():
     out = _run("two_view.py")
     inl = int(out.split("inliers:")[1].split(",")[0])
     assert inl > 60
+
+
+def test_camera_capture():
+    out = _run("camera_capture.py", "--frames", "3")
+    assert "corners" in out and "done" in out
