@@ -72,6 +72,10 @@ class BAProblem(NamedTuple):
     fixed_points: jax.Array  # (N,) bool
     obs_by_point: jax.Array  # (N, K) int32 obs indices (padded w/ 0)
     obs_by_point_mask: jax.Array  # (N, K) bool
+    # optional RGB-D channel (reference BaObservation depth, ba.rs:41,83):
+    # per-observation measured camera-frame depth + weight (0 = none)
+    obs_depth: Optional[jax.Array] = None      # (M,)
+    obs_depth_w: Optional[jax.Array] = None    # (M,)
 
 
 class BAResult(NamedTuple):
@@ -88,6 +92,7 @@ def build_problem(
     poses, points, k, obs_cam, obs_pt, obs_uv,
     obs_w=None, fixed_poses=None, fixed_points=None,
     max_obs_per_point: Optional[int] = None,
+    obs_depth=None, obs_depth_w=None,
 ) -> BAProblem:
     """Host-side construction: groups observations by point (static
     topology → static shapes) and pads to K = max obs per point."""
@@ -122,6 +127,11 @@ def build_problem(
         fixed_points=jnp.zeros(n_pts, bool) if fixed_points is None else jnp.asarray(fixed_points),
         obs_by_point=jnp.asarray(by_pt),
         obs_by_point_mask=jnp.asarray(by_pt_mask),
+        obs_depth=(None if obs_depth is None
+                   else jnp.asarray(obs_depth, jnp.float32)),
+        obs_depth_w=(None if obs_depth is None else jnp.asarray(
+            np.ones(m, np.float32) if obs_depth_w is None
+            else obs_depth_w, jnp.float32)),
     )
 
 
@@ -133,10 +143,15 @@ def build_problem(
 def _project_with_jacobians(
     poses: jax.Array, points: jax.Array, k: jax.Array,
     obs_cam: jax.Array, obs_pt: jax.Array, obs_uv: jax.Array,
+    obs_depth: Optional[jax.Array] = None,
+    obs_depth_w: Optional[jax.Array] = None,
 ):
-    """Per-observation residual (M, 2), J_pose (M, 2, 6) wrt [ρ; ω] left
-    perturbation, J_pt (M, 2, 3) (reference ba_schur.rs residual/Jacobian
-    conventions, :31-36)."""
+    """Per-observation residual (M, R), J_pose (M, R, 6) wrt [ρ; ω] left
+    perturbation, J_pt (M, R, 3) (reference ba_schur.rs residual/Jacobian
+    conventions, :31-36). R = 2 monocular; with ``obs_depth`` an RGB-D
+    row ``w_d · (z_cam − depth)`` is appended (R = 3; reference
+    BaObservation depth channel, ba.rs:41,83) — the per-row weight rides
+    the residual AND Jacobian row so the normal equations see w_d²."""
     pose_i = poses[obs_cam]       # (M, 7)
     pt_i = points[obs_pt]         # (M, 3)
     p_cam = lg.se3_apply(pose_i, pt_i)  # (M, 3)
@@ -159,14 +174,25 @@ def _project_with_jacobians(
         ],
         axis=-2,
     )
+    if obs_depth is not None:
+        dw = (jnp.ones_like(z) if obs_depth_w is None
+              else obs_depth_w) * (obs_depth > 0.0)
+        r = jnp.concatenate(
+            [r, (dw * (p_cam[:, 2] - obs_depth))[:, None]], axis=-1)
+        one = jnp.ones_like(x)
+        jproj = jnp.concatenate(
+            [jproj,
+             (dw[:, None] * jnp.stack([zero, zero, one], -1))[:, None]],
+            axis=-2)  # (M, 3, 3): ∂(w_d z)/∂p_cam = w_d·[0,0,1]
+
     # ∂p_cam/∂δ = [I | −[p_cam]×] (left perturbation exp(δ)·T)
     jp_rot = -lg.so3_hat(p_cam)  # (M, 3, 3)
     j_pose = jnp.concatenate(
         [jproj, jnp.einsum("mij,mjk->mik", jproj, jp_rot, precision=_HI)], axis=-1
-    )  # (M, 2, 6)
+    )  # (M, R, 6)
     # ∂p_cam/∂X = R
     r_mats = lg.quat_to_matrix(pose_i[:, 0:4])  # (M, 3, 3)
-    j_pt = jnp.einsum("mij,mjk->mik", jproj, r_mats, precision=_HI)  # (M, 2, 3)
+    j_pt = jnp.einsum("mij,mjk->mik", jproj, r_mats, precision=_HI)  # (M, R, 3)
     return r, j_pose, j_pt
 
 
@@ -175,7 +201,8 @@ def ba_cost(problem: BAProblem, poses=None, points=None, params: BAParams = BAPa
     poses = problem.poses if poses is None else poses
     points = problem.points if points is None else points
     r, _, _ = _project_with_jacobians(
-        poses, points, problem.k, problem.obs_cam, problem.obs_pt, problem.obs_uv
+        poses, points, problem.k, problem.obs_cam, problem.obs_pt,
+        problem.obs_uv, problem.obs_depth, problem.obs_depth_w,
     )
     sq = jnp.sum(r * r, axis=-1)
     w = LOSSES[params.loss](sq, params.loss_scale)
@@ -197,7 +224,8 @@ def schur_normal_equations(
     p = poses.shape[0]
     n = points.shape[0]
     r, j_pose, j_pt = _project_with_jacobians(
-        poses, points, problem.k, problem.obs_cam, problem.obs_pt, problem.obs_uv
+        poses, points, problem.k, problem.obs_cam, problem.obs_pt,
+        problem.obs_uv, problem.obs_depth, problem.obs_depth_w,
     )
     sq = jnp.sum(r * r, axis=-1)
     w = problem.obs_w * LOSSES[params.loss](sq, params.loss_scale)

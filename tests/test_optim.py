@@ -237,3 +237,98 @@ def test_schur_pcg_matches_dense_and_scales():
     assert float(res_pcg.final_cost) < 0.1 * c0
     # both solvers reach the same basin
     assert float(res_pcg.final_cost) <= 1.2 * float(res_dense.final_cost)
+
+
+class TestRgbdBA:
+    """RGB-D depth channel (reference BaObservation depth, ba.rs:41,83)."""
+
+    def _scene_with_depth(self, noise_px=1.0, depth_noise=0.005):
+        (poses_gt, poses_init, pts_gt, pts_init, k,
+         obs_cam, obs_pt, obs_uv, fixed) = make_ba_scene(
+            seed=4, noise_px=noise_px)
+        depths = []
+        for c, j in zip(obs_cam, obs_pt):
+            pc = np.asarray(lg.se3_apply(
+                jnp.asarray(poses_gt[c])[None],
+                jnp.asarray(pts_gt[j])[None]))[0]
+            depths.append(pc[2])
+        rng = np.random.default_rng(9)
+        depths = (np.asarray(depths, np.float32)
+                  + rng.normal(0, depth_noise, len(depths))
+                  .astype(np.float32))
+        return (poses_gt, poses_init, pts_gt, pts_init, k,
+                obs_cam, obs_pt, obs_uv, fixed, depths)
+
+    def test_depth_residual_zero_at_gt(self):
+        (poses_gt, _, pts_gt, _, k, obs_cam, obs_pt, obs_uv, _,
+         depths) = self._scene_with_depth(noise_px=0.0, depth_noise=0.0)
+        problem = ba_mod.build_problem(
+            poses_gt, pts_gt, k, obs_cam, obs_pt, obs_uv,
+            obs_depth=depths)
+        cost = float(ba_mod.ba_cost(
+            problem, params=ba_mod.BAParams(loss="identity")))
+        assert cost < 1e-4, cost
+
+    def test_depth_improves_structure(self):
+        """With noisy pixels, metric depth measurements must tighten
+        the recovered structure vs monocular-only BA."""
+        (poses_gt, poses_init, pts_gt, pts_init, k, obs_cam, obs_pt,
+         obs_uv, fixed, depths) = self._scene_with_depth(
+            noise_px=1.5, depth_noise=0.002)
+        params = ba_mod.BAParams(max_iterations=15, loss="identity",
+                                 solver="dense")
+
+        def run(depth):
+            problem = ba_mod.build_problem(
+                poses_init, pts_init, k, obs_cam, obs_pt, obs_uv,
+                fixed_poses=fixed, obs_depth=depth,
+                obs_depth_w=None if depth is None
+                else np.full(len(obs_cam), 200.0, np.float32))
+            res = jax.jit(lambda pr: ba_mod.bundle_adjust_schur(
+                pr, params))(problem)
+            assert float(res.final_cost) < float(res.initial_cost)
+            return np.linalg.norm(
+                np.asarray(res.points) - pts_gt, axis=1).mean()
+
+        err_mono = run(None)
+        err_rgbd = run(depths)
+        assert err_rgbd < err_mono * 0.8, (err_rgbd, err_mono)
+
+    def test_depth_jacobian_matches_numeric(self):
+        """Analytic depth-row Jacobians vs central differences."""
+        (poses_gt, poses_init, pts_gt, pts_init, k, obs_cam, obs_pt,
+         obs_uv, fixed, depths) = self._scene_with_depth()
+        dw = np.full(len(obs_cam), 3.0, np.float32)
+        poses = jnp.asarray(poses_init)
+        pts = jnp.asarray(pts_init)
+
+        def res_flat(dp, dx):
+            ps = lg.se3_retract(poses, dp)
+            r, _, _ = ba_mod._project_with_jacobians(
+                ps, pts + dx, jnp.asarray(k), jnp.asarray(obs_cam),
+                jnp.asarray(obs_pt), jnp.asarray(obs_uv),
+                jnp.asarray(depths), jnp.asarray(dw))
+            return r
+
+        r0, j_pose, j_pt = ba_mod._project_with_jacobians(
+            poses, pts, jnp.asarray(k), jnp.asarray(obs_cam),
+            jnp.asarray(obs_pt), jnp.asarray(obs_uv),
+            jnp.asarray(depths), jnp.asarray(dw))
+        assert r0.shape[1] == 3 and j_pose.shape[1:] == (3, 6)
+
+        eps = 1e-3
+        rng = np.random.default_rng(1)
+        dp_dir = rng.normal(0, 1, (len(poses_init), 6)).astype(np.float32)
+        dx_dir = rng.normal(0, 1, pts_init.shape).astype(np.float32)
+        zero_p = jnp.zeros((len(poses_init), 6), jnp.float32)
+        zero_x = jnp.zeros(pts_init.shape, jnp.float32)
+        num_p = (np.asarray(res_flat(eps * dp_dir, zero_x))
+                 - np.asarray(res_flat(-eps * dp_dir, zero_x))) / (2 * eps)
+        num_x = (np.asarray(res_flat(zero_p, eps * dx_dir))
+                 - np.asarray(res_flat(zero_p, -eps * dx_dir))) / (2 * eps)
+        ana_p = np.einsum("mri,mi->mr", np.asarray(j_pose),
+                          dp_dir[np.asarray(obs_cam)])
+        ana_x = np.einsum("mri,mi->mr", np.asarray(j_pt),
+                          dx_dir[np.asarray(obs_pt)])
+        np.testing.assert_allclose(ana_p, num_p, atol=5e-2, rtol=5e-2)
+        np.testing.assert_allclose(ana_x, num_x, atol=5e-2, rtol=5e-2)
