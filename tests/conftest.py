@@ -59,6 +59,15 @@ _SLOW_TESTS = {
     "test_exact_cases",
     "test_rotation_u8",
     "test_orb_quadtree_spread_and_quality",
+    # warp_shear approximations are superseded by the exact warp_pallas
+    # default; keep test_matches_numpy + test_method_kwarg fast, push
+    # the 1-4 min/case accuracy sweeps to the slow tier
+    "test_rotations",
+    "test_scales",
+    "test_general_and_reflection",
+    "test_u8_rgb",
+    "test_warp_affine_exact_modes",
+    "test_shear_f32",
 }
 
 
