@@ -24,6 +24,58 @@ def test_cpp_consumer(tmp_path):
     assert "NATIVE CPP TESTS PASSED" in out.stdout
 
 
+@pytest.mark.slow
+@pytest.mark.skipif(shutil.which("cmake") is None, reason="no cmake")
+def test_cmake_package_consumer(tmp_path):
+    """CMake packaging end-to-end (kornia-cpp README.md:1-20 parity):
+    build + install kornia_tpu::native to a prefix, then configure a
+    consumer project via find_package(kornia_tpu) and run it."""
+    import textwrap
+
+    prefix = tmp_path / "prefix"
+    build = tmp_path / "build"
+    subprocess.run(
+        ["cmake", "-S", NATIVE, "-B", str(build),
+         "-DCMAKE_BUILD_TYPE=Release"],
+        check=True, capture_output=True)
+    subprocess.run(["cmake", "--build", str(build), "-j2"],
+                   check=True, capture_output=True)
+    subprocess.run(
+        ["cmake", "--install", str(build), "--prefix", str(prefix)],
+        check=True, capture_output=True)
+
+    consumer = tmp_path / "consumer"
+    consumer.mkdir()
+    (consumer / "main.cpp").write_text(textwrap.dedent("""
+        #include <kornia_tpu.hpp>
+        #include <cstdio>
+        int main() {
+          std::vector<uint16_t> d(64, 7); d[3] = 900;
+          if (kornia::rvl_decompress(kornia::rvl_compress(d), 64) != d)
+            return 1;
+          std::puts("CMAKE CONSUMER OK");
+          return 0;
+        }
+    """))
+    (consumer / "CMakeLists.txt").write_text(textwrap.dedent("""
+        cmake_minimum_required(VERSION 3.16)
+        project(consumer CXX)
+        find_package(kornia_tpu REQUIRED)
+        add_executable(app main.cpp)
+        target_link_libraries(app PRIVATE kornia_tpu::native)
+    """))
+    cbuild = tmp_path / "cbuild"
+    subprocess.run(
+        ["cmake", "-S", str(consumer), "-B", str(cbuild),
+         f"-DCMAKE_PREFIX_PATH={prefix}"],
+        check=True, capture_output=True)
+    subprocess.run(["cmake", "--build", str(cbuild)],
+                   check=True, capture_output=True)
+    out = subprocess.run([str(cbuild / "app")], check=True,
+                         capture_output=True, text=True)
+    assert "CMAKE CONSUMER OK" in out.stdout
+
+
 def test_video_reader_writer_roundtrip(tmp_path):
     """Video IO smoke (kornia-io video.rs parity) — cv2-backed."""
     cv2 = pytest.importorskip("cv2")
