@@ -178,17 +178,26 @@ def _ops():
     # the scalar-gather branch out of the scanned program) ---
     m = jnp.asarray(
         [[0.866, 0.5, 10.0], [-0.5, 0.866, 300.0]], np.float32)
-    add("warp_affine_exact_rot30_1080p", 
+    add("warp_affine_exact_rot30_1080p",
         lambda x, mm: warp_affine_exact(x, mm, (1080, 1920),
                                         fallback=False),
         (grayf, m), _floor(8 * px, 4 * px))
+    # near-axis maps ride the mapless direct path (coefficients
+    # evaluated in-register; no map arrays) — the common library case
+    m2 = jnp.asarray(
+        [[1.2, 0.02, -8.0], [-0.02, 1.2, 12.0]], np.float32)
+    add("warp_affine_exact_scale_1080p",
+        lambda x, mm: warp_affine_exact(x, mm, (1080, 1920),
+                                        fallback=False),
+        (grayf, m2), _floor(5 * px, 4 * px))
     k = jnp.asarray([[800.0, 0, 960], [0, 800, 540], [0, 0, 1]],
                     jnp.float32)
     dist = jnp.asarray([0.08, -0.03, 0.001, 0.001, 0.0], jnp.float32)
     mapx, mapy = camera.generate_correction_map_polynomial(
         k, dist, (1080, 1920))
-    add("remap_undistort_1080p", 
-        lambda x, a, b: remap_exact(x, a, b, fallback=False),
+    # nsel=4 mirrors undistort_image's configuration (smooth maps)
+    add("remap_undistort_1080p",
+        lambda x, a, b: remap_exact(x, a, b, nsel=4, fallback=False),
         (grayf, mapx, mapy), _floor(8 * px, 4 * px))
 
     # --- front-end ---
@@ -217,8 +226,9 @@ _EST_HINTS = {
     "resize_half_bilinear_1080p": 0.03,
     "gaussian5x5_1080p": 0.06,
     "histogram_u8_1080p": 0.07,
-    "warp_affine_exact_rot30_1080p": 1.2,
-    "remap_undistort_1080p": 0.6,
+    "warp_affine_exact_rot30_1080p": 0.87,
+    "warp_affine_exact_scale_1080p": 0.38,
+    "remap_undistort_1080p": 0.43,
     "fast_detect_1080p": 0.37,
     "orb_2000kp_480x640": 1.6,
     "hamming_match_1024": 0.15,
@@ -231,7 +241,8 @@ _GROUPS = [
     ["fused_preprocess_1080p_to_640", "gray_from_rgb_1080p",
      "resize_half_bilinear_1080p", "gaussian5x5_1080p",
      "histogram_u8_1080p"],
-    ["warp_affine_exact_rot30_1080p", "remap_undistort_1080p"],
+    ["warp_affine_exact_rot30_1080p", "warp_affine_exact_scale_1080p",
+     "remap_undistort_1080p"],
     ["fast_detect_1080p", "orb_2000kp_480x640", "hamming_match_1024"],
 ]
 

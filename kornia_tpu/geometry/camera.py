@@ -152,7 +152,10 @@ def undistort_image(img: jax.Array, k: jax.Array, dist: jax.Array,
     h, w = img.shape[:2]
     map_x, map_y = generate_correction_map_polynomial(
         k, dist, (h, w), new_k)
-    return remap(img, map_x, map_y, mode)
+    # correction maps are smooth (row spread <= 2 per chunk for sane
+    # calibrations): nsel=4 selects the ~1.5x faster kernel variant;
+    # pathological maps fall back to the exact gather automatically
+    return remap(img, map_x, map_y, mode, nsel=4)
 
 
 # ---------------------------------------------------------------------------

@@ -52,33 +52,77 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-# Static geometry of the chunk kernel.
-_CW = 384          # column window (3 x 128 lanes); capacity ~254 source cols
+# Static geometry of the chunk kernel. Two tiers share one kernel body:
+#   narrow: 256-lane fetch window, ONE 128-lane gather window per tap,
+#           nsel=6 — serves maps whose per-chunk column span is <= 126
+#           and row spread <= 4 (identity/undistort cores, rotations:
+#           |dsx/dx| = |cos t| <= 1 keeps the span at ~|a|*127 < 126).
+#   wide:   384-lane fetch window, two gather windows, caller nsel —
+#           capacity 254 columns (strong minification, distortion
+#           edges). The tier is picked per call by a capacity gate
+#           (lax.cond); maps beyond wide capacity take the scalar
+#           gather fallback as before.
+_CW = 384          # wide-tier column window; capacity ~254 source cols
+_CWN = 256         # narrow-tier column window; capacity 126 source cols
+_NSEL_N = 6        # narrow-tier row candidates (row spread <= 4)
 _PT = 8            # top padding rows of the padded source
 _PL = 8            # left padding cols
 _BH = 32           # destination macro-block rows  (4 sub-chunks)
 _BW = 512          # destination macro-block lanes (4 sub-chunks)
 
-# Banded-execution knobs (module-level so tests can force the banded
-# path at small sizes — it once hid a band-offset bug behind sizes too
-# big for the CPU-interpret suite).
-_SRC_VMEM_LIMIT = 11 * 1024 * 1024   # single-call source budget, bytes
-_BAND_DH = 256                       # destination rows per band
-_HB_MAX = 768                        # static source rows per band
+# Source staging: the source stays in HBM (pl.ANY memory space) and the
+# kernel double-buffer DMAs the _HBB source rows each destination
+# row-block needs into a VMEM scratch, overlapped with the previous
+# block's compute. This replaced two earlier structures that both lost
+# to it on the v5e: (a) the whole source as one VMEM input block — a
+# 42 MB block (1080p after the rot30 pre-shear) costs ~0.17 ms of
+# un-overlapped fill and caps image size at VMEM; (b) host-side banding
+# (5 pallas calls over dynamic-sliced bands) — ~0.2 ms of slice copies
+# plus a pipeline drain every 32 grid steps. DMA staging fetches only
+# the rows actually sampled (a sheared source is mostly never touched),
+# has no size cliff, and hides the fetch behind compute.
+_HBB = 256         # staged source rows per destination row-block
 
 
 def _make_kernel(nsel: int, n_cc: int, with_shear: bool,
-                 h_orig: int, w_orig: int, fill: float):
+                 h_orig: int, w_orig: int, fill: float,
+                 cw: int = _CW, nwin: int = 2,
+                 map_form: str = "data", nearest: bool = False,
+                 border: bool = False, use_box: bool = False):
     """Kernel body: resolve one (8, 128) destination chunk.
 
     Scalar-prefetch operands (1-D, per flattened chunk g = r*n_cc+cc):
       rb_ref: [0:G] 8-aligned row base, [G:2G] sub-8 residual delta.
-      cb_ref: [2g] 128-aligned col base, [2g+1] lane roll in [0, 128).
-      kap_ref: (3,) i32: pre-shear slope as round(kappa*2^20) (read
-        when with_shear), shear row offset s0, and the band row offset
-        band0 — row bases arrive relative to the band's source slice,
-        but iy0 (from the map) is global, so candidate matching must
-        compare against ``rbase + band0`` (single-call path: band0=0).
+      cb_ref: [0:G] 128-aligned col base, [G:2G] sub-128 lane residual
+        (cu = true col base - aligned base). The kernel lane-rolls the
+        fetched window left by cu so per-lane columns land in [0, 254]
+        and only TWO 128-lane gather windows are needed instead of
+        three — the dominant per-chunk cost is the take_along_axis
+        count (Mosaic vectorizes it only at exactly 128 lanes).
+      kap_ref: (2,) i32: pre-shear slope as round(kappa*2^20) (read
+        when with_shear) and shear row offset s0.
+      bb_ref: (2*n_rb,) i32: per-destination-row-block source staging
+        base (8-aligned) and the high-half staging flags. Row bases in
+        rb_ref arrive relative to bb of their row-block; iy0 (from the
+        map) is global, so candidate matching compares against
+        ``rbase + bb_ref[r]``.
+      mc_ref (mapless forms only): (13,) i32 f32-bit-patterns:
+        [c1x c2x c0x  c1y c2y c0y  p1 p2 p0  xlo xhi ylo yhi] — the
+        kernel computes the map in-register from the destination iota
+        (``map_form="affine"``: sx = c1x*gx + c2x*gy + c0x;
+        ``"persp"``: divided by p1*gx + p2*gy + p0), so no map arrays
+        ever exist in HBM. The wrapper derives fetch bases from the 4
+        chunk corners of the same f32 expressions — exact for affine
+        (Mosaic emits bit-identical mul/add, verified; f32 rounding is
+        monotone so chunk extrema sit at corners), margined by ±1 for
+        perspective (division monotonicity is only ulp-approximate).
+
+    The source input lives in HBM (pl.ANY): at each row-block the
+    kernel DMAs rows [bb, bb + _HBB) of the current channel into a
+    double-buffered VMEM scratch, prefetching the next row-block's
+    rows while the current one computes. Only sampled rows ever cross
+    HBM->VMEM (a pre-sheared source is mostly untouched), there is no
+    source-size VMEM cliff, and the fetch hides behind compute.
 
     Row resolution exploits that real maps advance ~1 source row per
     destination row: the chunk base is defined on ``iy0 - dest_row``
@@ -97,18 +141,106 @@ def _make_kernel(nsel: int, n_cc: int, with_shear: bool,
     n_sub_r = _BH // 8
     n_sub_c = _BW // 128
 
-    def kernel(rb_ref, cb_ref, kap_ref, mx_ref, my_ref, src_ref, out_ref):
+    def kernel(*refs):
+        if map_form == "data":
+            (rb_ref, cb_ref, kap_ref, bb_ref, mx_ref, my_ref,
+             src_ref, out_ref, scratch, sems) = refs
+            mc_ref = None
+        else:
+            (rb_ref, cb_ref, kap_ref, bb_ref, mc_ref,
+             src_ref, out_ref, scratch, sems) = refs
+        c = pl.program_id(0)
         r = pl.program_id(1)
         cc = pl.program_id(2)
-        n_g = pl.num_programs(1) * n_sub_r * n_cc
+        n_rb = pl.num_programs(1)
+        n_t = pl.num_programs(0) * n_rb
+        n_g = n_rb * n_sub_r * n_cc
+
+        if map_form != "data":
+            def mcf(i):
+                return jax.lax.bitcast_convert_type(
+                    jnp.full((8, 128), mc_ref[i], jnp.int32),
+                    jnp.float32)
+            mcs = [mcf(i) for i in range(13)]
+
+        # --- double-buffered source staging (HBM -> VMEM scratch) ---
+        # The low half (_HBB/2 rows) is always staged; the high half
+        # only when the row-block's span needs it (bb_ref[n_rb + rr]
+        # flag) — typical maps span ~56 rows, so staging all of _HBB
+        # unconditionally would double-to-quadruple the DMA traffic.
+        t = c * n_rb + r
+        slot = jax.lax.rem(t, 2)
+        hbb2 = _HBB // 2
+
+        def band_dma(tt, sl, hi):
+            ch_i = tt // n_rb
+            rr = jax.lax.rem(tt, n_rb)
+            base = pl.multiple_of(bb_ref[rr], 8) + hi * hbb2
+            return pltpu.make_async_copy(
+                src_ref.at[ch_i, pl.ds(base, hbb2), :],
+                scratch.at[sl, pl.ds(hi * hbb2, hbb2), :],
+                sems.at[sl, hi])
+
+        def start_band(tt, sl):
+            band_dma(tt, sl, 0).start()
+
+            @pl.when(bb_ref[n_rb + jax.lax.rem(tt, n_rb)] > 0)
+            def _():
+                band_dma(tt, sl, 1).start()
+
+        @pl.when((cc == 0) & (t == 0))
+        def _():
+            start_band(0, 0)
+
+        @pl.when(cc == 0)
+        def _():
+            @pl.when(t + 1 < n_t)
+            def _():
+                start_band(t + 1, jax.lax.rem(t + 1, 2))
+            band_dma(t, slot, 0).wait()
+
+            @pl.when(bb_ref[n_rb + jax.lax.rem(t, n_rb)] > 0)
+            def _():
+                band_dma(t, slot, 1).wait()
 
         for si in range(n_sub_r):
             for sj in range(n_sub_c):
                 g = ((r * n_sub_r + si) * n_cc + cc * n_sub_c + sj)
-                sx = mx_ref[0, si * 8:(si + 1) * 8,
-                            sj * 128:(sj + 1) * 128]
-                sy = my_ref[0, si * 8:(si + 1) * 8,
-                            sj * 128:(sj + 1) * 128]
+                box_ok = None
+                if map_form == "data":
+                    sx = mx_ref[0, si * 8:(si + 1) * 8,
+                                sj * 128:(sj + 1) * 128]
+                    sy = my_ref[0, si * 8:(si + 1) * 8,
+                                sj * 128:(sj + 1) * 128]
+                else:
+                    # in-register map evaluation from the destination
+                    # pixel iota — no map arrays in HBM at all
+                    gyf = (jax.lax.broadcasted_iota(
+                        jnp.int32, (8, 128), 0)
+                        + (r * _BH + si * 8)).astype(jnp.float32)
+                    gxf = (jax.lax.broadcasted_iota(
+                        jnp.int32, (8, 128), 1)
+                        + (cc * _BW + sj * 128)).astype(jnp.float32)
+                    sx = mcs[0] * gxf + mcs[1] * gyf + mcs[2]
+                    sy = mcs[3] * gxf + mcs[4] * gyf + mcs[5]
+                    if map_form == "persp":
+                        den = mcs[6] * gxf + mcs[7] * gyf + mcs[8]
+                        den = jnp.where(jnp.abs(den) < 1e-8, 1e-8, den)
+                        sx = sx / den
+                        sy = sy / den
+                    if use_box:
+                        box_ok = ((sx >= mcs[9] - 1.0)
+                                  & (sx <= mcs[10] + 1.0)
+                                  & (sy >= mcs[11] - 1.0)
+                                  & (sy <= mcs[12] + 1.0))
+                    if border:
+                        sx = jnp.clip(sx, mcs[9], mcs[10])
+                        sy = jnp.clip(sy, mcs[11], mcs[12])
+                    if nearest:
+                        sx = jnp.floor(sx + 0.5)
+                        sy = jnp.floor(sy + 0.5)
+                    sx = jnp.clip(sx, -1.5, w_orig + 0.5)
+                    sy = jnp.clip(sy, -1.5, h_orig + 0.5)
                 # maps arrive UNOFFSET (original source coords): the
                 # fraction must be taken before the pad offset is added
                 # or it loses a mantissa bit at power-of-2 crossings
@@ -122,18 +254,25 @@ def _make_kernel(nsel: int, n_cc: int, with_shear: bool,
 
                 rb8 = pl.multiple_of(rb_ref[g], 8)
                 delta = rb_ref[n_g + g]
-                # global row of candidate v=0 at sublane 0: the band
-                # offset re-globalizes the band-relative fetch base
-                rbase = rb8 + delta + kap_ref[2]
+                # global row of candidate v=0 at sublane 0: the staging
+                # base re-globalizes the scratch-relative fetch base
+                rbase = rb8 + delta + bb_ref[r]
                 cb128 = pl.multiple_of(cb_ref[g], 128)
+                cu = cb_ref[n_g + g]
 
-                blk = src_ref[0, pl.ds(rb8, slice_r), pl.ds(cb128, _CW)]
+                blk = scratch[slot, pl.ds(rb8, slice_r),
+                              pl.ds(cb128, cw)]
                 # roll rows up by delta so candidate 0 sits at the true
                 # chunk base. Dynamic rolls need NON-NEGATIVE shifts on
                 # hardware (negative shifts are silently wrong on v5e
                 # on BOTH axes; interpret mode accepts either sign).
                 blk = pltpu.roll(
                     blk, jax.lax.rem(slice_r - delta, slice_r), 0)
+                # roll lanes left by the sub-128 column residual so the
+                # chunk's true column base sits at lane 0: per-lane
+                # columns then fit the gather windows (capacity is
+                # cw - 130 wide-tier / 126 narrow-tier)
+                blk = pltpu.roll(blk, jax.lax.rem(cw - cu, cw), 1)
 
                 # per-tap source row relative to the chunk diagonal
                 # (rbase + sublane)
@@ -156,11 +295,21 @@ def _make_kernel(nsel: int, n_cc: int, with_shear: bool,
                     rel_l = iy0 - rbase - riota
                     rel_r = rel_l
 
-                relx = ix0 - cb128
+                relx = ix0 - (cb128 + cu)
                 relx1 = relx + 1
-                rx = [jnp.clip(relx - 128 * k, 0, 127) for k in range(3)]
-                rx1 = [jnp.clip(relx1 - 128 * k, 0, 127)
-                       for k in range(3)]
+                rx = jnp.clip(relx, 0, 127)
+                rx1w = jnp.clip(relx1 - 128, 0, 127)
+                if nwin == 2:
+                    rxw = jnp.clip(relx - 128, 0, 127)
+                    in_k0 = relx < 128
+                    in_k1 = relx1 < 128
+                else:
+                    # narrow tier: span <= 127 (covers exact-unit-rate
+                    # maps: 128 lanes at rate 1 span exactly 127); only
+                    # the right tap of the last lane can index 128 —
+                    # served by a broadcast of window column 128
+                    rx1 = jnp.clip(relx1, 0, 127)
+                    r1_over = relx1 >= 128
 
                 zero = jnp.zeros((8, 128), jnp.float32)
                 tl = zero
@@ -169,20 +318,23 @@ def _make_kernel(nsel: int, n_cc: int, with_shear: bool,
                 br = zero
                 for v in range(nsel):
                     cand = blk[v: v + 8, :]    # row r = src rbase+v+r
-                    gl = zero
-                    gr = zero
-                    for k in range(3):
-                        win = cand[:, 128 * k: 128 * (k + 1)]
-                        in_k = ((relx >= 128 * k)
-                                & (relx < 128 * (k + 1)))
-                        in_k1 = ((relx1 >= 128 * k)
-                                 & (relx1 < 128 * (k + 1)))
+                    w0 = cand[:, 0:128]
+                    if nwin == 2:
+                        w1 = cand[:, 128:256]
                         gl = jnp.where(
-                            in_k,
-                            jnp.take_along_axis(win, rx[k], axis=1), gl)
+                            in_k0,
+                            jnp.take_along_axis(w0, rx, axis=1),
+                            jnp.take_along_axis(w1, rxw, axis=1))
                         gr = jnp.where(
                             in_k1,
-                            jnp.take_along_axis(win, rx1[k], axis=1), gr)
+                            jnp.take_along_axis(
+                                w0, jnp.clip(relx1, 0, 127), axis=1),
+                            jnp.take_along_axis(w1, rx1w, axis=1))
+                    else:
+                        gl = jnp.take_along_axis(w0, rx, axis=1)
+                        gr = jnp.where(
+                            r1_over, cand[:, 128:129],
+                            jnp.take_along_axis(w0, rx1, axis=1))
                     tl = jnp.where(rel_l == v, gl, tl)
                     bl = jnp.where(rel_l == v - 1, gl, bl)
                     tr = jnp.where(rel_r == v, gr, tr)
@@ -195,6 +347,14 @@ def _make_kernel(nsel: int, n_cc: int, with_shear: bool,
                 vy1 = (iy0 >= _PT - 1) & (iy0 <= _PT + h_orig - 2)
                 vx0 = (ix0 >= _PL) & (ix0 <= _PL + w_orig - 1)
                 vx1 = (ix0 >= _PL - 1) & (ix0 <= _PL + w_orig - 2)
+                if box_ok is not None:
+                    # mapless equivalent of the data path's push-to
+                    # -1e6 content-box masking: samples beyond the
+                    # rotated content box (+1 px blend rim) read fill
+                    vy0 = vy0 & box_ok
+                    vy1 = vy1 & box_ok
+                    vx0 = vx0 & box_ok
+                    vx1 = vx1 & box_ok
                 fv = jnp.float32(fill)
                 tl = jnp.where(vy0 & vx0, tl, fv)
                 tr = jnp.where(vy0 & vx1, tr, fv)
@@ -211,39 +371,62 @@ def _make_kernel(nsel: int, n_cc: int, with_shear: bool,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("nsel", "with_shear", "h_orig", "w_orig", "fill"))
-def _remap_chunks(src_p: jax.Array, mxc: jax.Array, myc: jax.Array,
+    static_argnames=("nsel", "with_shear", "h_orig", "w_orig", "fill",
+                     "cw", "nwin", "hc", "wc", "map_form", "nearest",
+                     "border", "use_box"))
+def _remap_chunks(src_p: jax.Array, mxc, myc,
                   rb8: jax.Array, cb128: jax.Array,
-                  kappa: jax.Array, nsel: int, with_shear: bool,
-                  h_orig: int, w_orig: int, fill: float) -> jax.Array:
-    """Core chunk resolver; returns (C, Hc, Wc) f32."""
+                  kappa: jax.Array, bb: jax.Array,
+                  nsel: int, with_shear: bool,
+                  h_orig: int, w_orig: int, fill: float,
+                  cw: int = _CW, nwin: int = 2,
+                  hc: int = 0, wc: int = 0,
+                  map_form: str = "data", nearest: bool = False,
+                  border: bool = False, use_box: bool = False,
+                  mc: Optional[jax.Array] = None) -> jax.Array:
+    """Core chunk resolver; returns (C, Hc, Wc) f32. The source stays
+    in HBM and is staged per destination row-block by the kernel's
+    double-buffered DMA (see _make_kernel docstring). ``map_form=
+    "data"`` reads per-pixel maps mxc/myc; the mapless forms compute
+    the map in-register from ``mc`` coefficients (mxc/myc unused)."""
     ch, hp, wp = src_p.shape
-    hc, wc = mxc.shape
+    if map_form == "data":
+        hc, wc = mxc.shape
     n_cc = wc // 128
 
-    kernel = _make_kernel(nsel, n_cc, with_shear, h_orig, w_orig, fill)
+    kernel = _make_kernel(nsel, n_cc, with_shear, h_orig, w_orig, fill,
+                          cw=cw, nwin=nwin, map_form=map_form,
+                          nearest=nearest, border=border,
+                          use_box=use_box)
 
-    return pl.pallas_call(
+    map_specs = [
+        pl.BlockSpec((1, _BH, _BW), lambda c, r, cc, *_: (0, r, cc)),
+        pl.BlockSpec((1, _BH, _BW), lambda c, r, cc, *_: (0, r, cc)),
+    ] if map_form == "data" else []
+
+    call = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=4 if map_form == "data" else 5,
             grid=(ch, hc // _BH, wc // _BW),
-            in_specs=[
-                pl.BlockSpec((1, _BH, _BW),
-                             lambda c, r, cc, *_: (0, r, cc)),
-                pl.BlockSpec((1, _BH, _BW),
-                             lambda c, r, cc, *_: (0, r, cc)),
-                pl.BlockSpec((1, hp, wp), lambda c, r, cc, *_: (c, 0, 0)),
-            ],
+            in_specs=map_specs + [pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec((1, _BH, _BW),
                                    lambda c, r, cc, *_: (c, r, cc)),
+            scratch_shapes=[
+                pltpu.VMEM((2, _HBB, wp), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, 2)),
+            ],
         ),
         out_shape=jax.ShapeDtypeStruct((ch, hc, wc), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=_interpret(),
-    )(rb8.astype(jnp.int32), cb128.astype(jnp.int32),
-      kappa.astype(jnp.int32).reshape(3), mxc[None], myc[None], src_p)
+    )
+    pref = [rb8.astype(jnp.int32), cb128.astype(jnp.int32),
+            kappa.astype(jnp.int32).reshape(2), bb.astype(jnp.int32)]
+    if map_form == "data":
+        return call(*pref, mxc[None], myc[None], src_p)
+    return call(*pref, mc.astype(jnp.int32).reshape(13), src_p)
 
 
 def _chunk_reduce(a: jax.Array, op) -> jax.Array:
@@ -314,93 +497,199 @@ def _prepare_and_run(src: jax.Array, map_x: jax.Array, map_y: jax.Array,
     cmin = _chunk_reduce(jnp.where(lane_valid, ix0, big), jnp.min)
     cmax = _chunk_reduce(jnp.where(lane_valid, ix0, -big), jnp.max)
 
-    ok = (jnp.all(rmax - rmin <= nsel - 2)
-          & jnp.all(cmax - cmin <= _CW - 130))
+    return _run_from_bounds(
+        src, ho, wo, h, w, rmin, rmax, cmin, cmax,
+        parked=(rmin > 1e8), nsel=nsel, fill=fill, kappa=kappa,
+        data=(mxc, myc))
 
-    hp = _round_up(h_arr + _PT + slice_r + 8, 8)
+
+def _run_from_bounds(src, ho, wo, h, w, rmin, rmax, cmin, cmax,
+                     parked, nsel, fill, kappa,
+                     data=None, mc=None, map_form: str = "data",
+                     nearest: bool = False, border: bool = False,
+                     use_box: bool = False):
+    """Shared execution tail: pad the source, derive per-chunk fetch
+    bases + staging schedule + capacity gates from the chunk bounds,
+    pick the kernel tier, run. Returns (out (C, Ho, Wo) f32, ok)."""
+    ch, h_arr, w_arr = src.shape
+    slice_r = _round_up(nsel + 16, 8)
+    hc = _round_up(ho, _BH)
+    wc = _round_up(wo, _BW)
+
+    ok_wide = (jnp.all(rmax - rmin <= nsel - 2)
+               & jnp.all(cmax - cmin <= _CW - 130))
+    # narrow tier: single gather window + fewer row candidates. Span
+    # 127 (not 126) so exact-unit-rate maps qualify: 128 lanes at rate
+    # 1 span exactly 127; the lane-128 right tap is special-cased in
+    # the kernel. Narrow capacity is a subset of wide capacity.
+    ok_narrow = (jnp.all(rmax - rmin <= _NSEL_N - 2)
+                 & jnp.all(cmax - cmin <= 127))
+
+    hp = max(_round_up(h_arr + _PT + slice_r + 8, 8), _HBB)
     wp = _round_up(w_arr + _PL + _CW + 128, 128)
     src_p = jnp.pad(src.astype(jnp.float32),
                     ((0, 0), (_PT, hp - h_arr - _PT),
                      (_PL, wp - w_arr - _PL)))
 
     # all-invalid chunks park at base 0 (their output is fill anyway);
-    # letting them clip to the array bottom would wreck the band spans
-    parked = rmin > 1e8
+    # letting them clip to the array bottom would wreck the staging
+    # spans
     rbase = jnp.where(parked, 0,
                       jnp.clip(rmin, 0, hp - slice_r)).astype(jnp.int32)
     rb8 = (rbase // 8) * 8
     delta = rbase - rb8
-    cbase = jnp.clip(cmin.astype(jnp.int32), 0, wp - _CW)
-    cb128 = (cbase // 128) * 128
+    cmin_i = cmin.astype(jnp.int32)
     if kappa is not None:
         kap2 = kappa.astype(jnp.int32)
     else:
         kap2 = jnp.zeros((2,), jnp.int32)
     with_shear = kappa is not None
 
-    if hp * wp * 4 <= _SRC_VMEM_LIMIT:
-        # source fits VMEM: one kernel call over the whole destination
-        rb_packed = jnp.concatenate([rb8.reshape(-1), delta.reshape(-1)])
-        kap = jnp.concatenate([kap2, jnp.zeros((1,), jnp.int32)])
-        out = _remap_chunks(src_p, mxc, myc, rb_packed,
-                            cb128.reshape(-1), kap,
-                            nsel=nsel, with_shear=with_shear,
-                            h_orig=h, w_orig=w, fill=fill)
-        return out[:, :ho, :wo], ok
-
-    # Banded execution: the (pre-sheared) source is too tall for VMEM
-    # (general affine: height ~ H + |kappa|*W). Destination rows are
-    # processed in bands; each band dynamic-slices the source rows it
-    # needs (static height _HB), so every pallas call sees a VMEM-sized
-    # operand and all bands share one kernel compilation.
-    band_dh = _BAND_DH
-    hb = min(_round_up(hp, 8), _HB_MAX)  # static src rows per band
-    hcb = _round_up(hc, band_dh)
-    n_bands = hcb // band_dh
-    pad_r = hcb - hc
-    if pad_r:
-        mxc = jnp.pad(mxc, ((0, pad_r), (0, 0)), constant_values=-1e6)
-        myc = jnp.pad(myc, ((0, pad_r), (0, 0)), constant_values=-1e6)
-        zpad = ((0, pad_r // 8), (0, 0))
-        rb8 = jnp.pad(rb8, zpad)
-        delta = jnp.pad(delta, zpad)
-        cb128 = jnp.pad(cb128, zpad)
-    outs = []
-    ncr_b = band_dh // 8
-    if pad_r:
-        parked = jnp.pad(parked, ((0, pad_r // 8), (0, 0)),
-                         constant_values=True)
+    # per-row-block staging base + DMA capacity gate: each destination
+    # row-block's chunks must fit one _HBB-row staged window. Parked
+    # chunks are pinned to the block base so they cannot stretch it.
+    n_rb = hc // _BH
     big_i = jnp.int32(2 ** 30)
-    for b in range(n_bands):
-        rb8_b = rb8[b * ncr_b:(b + 1) * ncr_b]
-        park_b = parked[b * ncr_b:(b + 1) * ncr_b]
-        # parked (all-invalid) chunks must not stretch the band window:
-        # exclude them from the min/max and pin them to the band base;
-        # clamp defensively so an over-capacity chunk (ok=False) can
-        # never make the kernel read outside the band slice.
-        band0 = jnp.min(jnp.where(park_b, big_i, rb8_b))
-        band0 = (jnp.clip(band0, 0, hp - hb) // 8) * 8
-        real_max = jnp.max(jnp.where(park_b, 0, rb8_b))
-        ok = ok & (real_max - band0 + slice_r <= hb)
-        rb8_rel = jnp.clip(jnp.where(park_b, band0, rb8_b) - band0,
-                           0, hb - slice_r)
-        src_band = jax.lax.dynamic_slice(
-            src_p, (0, band0, 0), (ch, hb, wp))
-        rb_packed = jnp.concatenate([rb8_rel.reshape(-1),
-                                     delta[b * ncr_b:(b + 1) * ncr_b]
-                                     .reshape(-1)])
-        kap = jnp.concatenate([kap2, band0[None]])
-        out_b = _remap_chunks(
-            src_band,
-            mxc[b * band_dh:(b + 1) * band_dh],
-            myc[b * band_dh:(b + 1) * band_dh],
-            rb_packed,
-            cb128[b * ncr_b:(b + 1) * ncr_b].reshape(-1), kap,
-            nsel=nsel, with_shear=with_shear,
-            h_orig=h, w_orig=w, fill=fill)
-        outs.append(out_b)
-    out = jnp.concatenate(outs, axis=1)
-    return out[:, :ho, :wo], ok
+    rb8_blk = rb8.reshape(n_rb, _BH // 8, -1)
+    park_blk = parked.reshape(n_rb, _BH // 8, -1)
+    bb = jnp.min(jnp.where(park_blk, big_i, rb8_blk), axis=(1, 2))
+    bb = (jnp.clip(bb, 0, hp - _HBB) // 8) * 8
+    rmax_b = jnp.max(jnp.where(park_blk, 0, rb8_blk), axis=(1, 2))
+    ok_dma = jnp.all(rmax_b - bb + slice_r <= _HBB)
+    # high-half staging flag: only row-blocks spanning past _HBB/2
+    # rows pay the second DMA
+    need_hi = (rmax_b - bb + slice_r > _HBB // 2).astype(jnp.int32)
+    bb_packed = jnp.concatenate([bb, need_hi])
+    bb_of_chunk = jnp.repeat(bb, _BH // 8)[:, None]
+    rb8_rel = jnp.clip(jnp.where(parked, bb_of_chunk, rb8)
+                       - bb_of_chunk, 0, _HBB - slice_r)
+    rb_packed = jnp.concatenate(
+        [rb8_rel.reshape(-1), delta.reshape(-1)])
+
+    mxc, myc = data if data is not None else (None, None)
+
+    def run_tier(cw, nwin, nsel_t):
+        cbase = jnp.clip(cmin_i, 0, wp - cw)
+        cb128 = (cbase // 128) * 128
+        cu = cbase - cb128
+        cb_packed = jnp.concatenate(
+            [cb128.reshape(-1), cu.reshape(-1)])
+        return _remap_chunks(src_p, mxc, myc, rb_packed,
+                             cb_packed, kap2, bb_packed,
+                             nsel=nsel_t, with_shear=with_shear,
+                             h_orig=h, w_orig=w, fill=fill,
+                             cw=cw, nwin=nwin, hc=hc, wc=wc,
+                             map_form=map_form, nearest=nearest,
+                             border=border, use_box=use_box, mc=mc)
+
+    out = jax.lax.cond(
+        ok_narrow,
+        lambda _: run_tier(_CWN, 1, _NSEL_N),
+        lambda _: run_tier(_CW, 2, nsel),
+        operand=None)
+    return out[:, :ho, :wo], ok_wide & ok_dma
+
+
+def _mapless_bounds(coefs, box, hc, wc, h, w, map_form, nearest,
+                    border):
+    """Per-chunk fetch bounds from the 4 corners of every (8,128)
+    destination chunk — tiny (2,2,hc/8,wc/128) arrays instead of
+    full-resolution maps. Sound because every op in the kernel's map
+    pipeline (affine eval, clip, floor) is monotone per destination
+    axis, so per-axis extrema sit at corners; f32 rounding preserves
+    monotonicity. Two refinements:
+
+    * Bounds are taken over UNCLIPPED values (only a ±1e9 int-safety
+      clamp). The kernel's [-1.5, w+0.5] positioning clamp only moves
+      OUT-OF-IMAGE samples, and those lanes mask themselves to fill —
+      they never need window coverage. In-image lanes are unclipped,
+      so the unclipped corner bounds cover them exactly, and edge
+      chunks never inflate the capacity gate (the clamp's flat regions
+      broke the (iy0 - riota) corner-monotonicity AND blew the spread
+      to >= 7). Border-mode clipping, by contrast, affects IN-image
+      values, so it is applied in bounds too — its flat edge regions
+      genuinely exceed the row capacity and fall back, exactly like
+      the data-map path.
+    * Perspective division is only ulp-monotone, so it gets a ±1
+      margin and a denominator sign-uniformity gate (den is affine:
+      same corner sign = same sign on the whole chunk).
+
+    Returns (rmin, rmax, cmin, cmax, ok_extra)."""
+    i8 = jnp.arange(hc // 8, dtype=jnp.float32) * 8
+    j128 = jnp.arange(wc // 128, dtype=jnp.float32) * 128
+    gy = jnp.stack([i8, i8 + 7])[:, None, :, None]
+    gx = jnp.stack([j128, j128 + 127])[None, :, None, :]
+    c = coefs
+    sx = c[0] * gx + c[1] * gy + c[2]
+    sy = c[3] * gx + c[4] * gy + c[5]
+    ok_extra = jnp.asarray(True)
+    margin = 0
+    if map_form == "persp":
+        den = c[6] * gx + c[7] * gy + c[8]
+        dmin = jnp.min(den, axis=(0, 1))
+        dmax = jnp.max(den, axis=(0, 1))
+        ok_extra = jnp.all((dmin > 1e-6) | (dmax < -1e-6))
+        den = jnp.where(jnp.abs(den) < 1e-8, 1e-8, den)
+        sx = sx / den
+        sy = sy / den
+        margin = 1
+    if border:
+        sx = jnp.clip(sx, box[0], box[1])
+        sy = jnp.clip(sy, box[2], box[3])
+    if nearest:
+        sx = jnp.floor(sx + 0.5)
+        sy = jnp.floor(sy + 0.5)
+    ix0 = jnp.floor(jnp.clip(sx, -1e9, 1e9)) + _PL
+    iy0 = jnp.floor(jnp.clip(sy, -1e9, 1e9)) + _PT
+
+    riota_c = jnp.asarray([0.0, 7.0], jnp.float32)[:, None, None, None]
+    rmin = jnp.min(iy0 - riota_c, axis=(0, 1)) - margin
+    rmax = jnp.max(iy0 - riota_c, axis=(0, 1)) + margin
+    cmin = jnp.min(ix0, axis=(0, 1)) - margin
+    cmax = jnp.max(ix0, axis=(0, 1)) + margin
+    # fully-out-of-image chunks (whole-chunk violation of one image
+    # bound shows at the extreme corner, monotone per axis) are parked
+    # so they cannot drag fetch/staging bases; their output is fill.
+    m = jnp.float32(margin)
+    parked = (
+        (jnp.max(sy, axis=(0, 1)) < -1.0 - m)
+        | (jnp.min(sy, axis=(0, 1)) > h + 1.0 + m)
+        | (jnp.max(sx, axis=(0, 1)) < -1.0 - m)
+        | (jnp.min(sx, axis=(0, 1)) > w + 1.0 + m))
+    return rmin, rmax, cmin, cmax, ok_extra, parked
+
+
+def _prepare_and_run_mapless(src, coefs, box, out_hw, nsel, fill,
+                             map_form: str = "affine",
+                             nearest: bool = False,
+                             border: bool = False):
+    """Mapless twin of _prepare_and_run for DIRECT (un-sheared) warps:
+    the map is an affine or projective function of the destination
+    pixel described by ``coefs`` (9,) f32 — the kernel evaluates it
+    in-register and the fetch bounds come from chunk-corner
+    evaluation, so no (Ho, Wo) map arrays are ever materialized (at
+    1080p the map pipeline — two 8.9 MB maps, pads, validity masks,
+    and four full-resolution chunk reductions — dominated the warp's
+    cost). The pre-sheared path keeps the data-map route: its row
+    metric mixes two floor staircases with cancelling slopes, which
+    corner evaluation cannot bound tightly."""
+    ch, h, w = src.shape
+    ho, wo = out_hw
+    hc = _round_up(ho, _BH)
+    wc = _round_up(wo, _BW)
+
+    rmin, rmax, cmin, cmax, ok_extra, parked = _mapless_bounds(
+        coefs, box, hc, wc, h, w, map_form, nearest, border)
+
+    mc = jax.lax.bitcast_convert_type(
+        jnp.concatenate([coefs.astype(jnp.float32),
+                         box.astype(jnp.float32)]), jnp.int32)
+    out, ok = _run_from_bounds(
+        src, ho, wo, h, w, rmin, rmax, cmin, cmax,
+        parked=parked, nsel=nsel, fill=fill, kappa=None,
+        mc=mc, map_form=map_form, nearest=nearest, border=border,
+        use_box=False)
+    return out, ok & ok_extra
 
 
 # ---------------------------------------------------------------------------
@@ -538,95 +827,66 @@ def _lane_shift_pallas(srcT: jax.Array, shifts: jax.Array,
 
 
 
-def _capacity_ok(map_x: jax.Array, map_y: jax.Array, h: int, w: int,
-                 nsel: int) -> jax.Array:
-    """The chunk kernel's capacity gate, standalone (no kernel run):
-    used to pick between the direct and the rot90+pre-shear pipelines
-    before tracing costs into the executed branch."""
-    ho, wo = map_x.shape
-    hc = _round_up(ho, _BH)
-    wc = _round_up(wo, _BW)
-    mx = jnp.pad(map_x.astype(jnp.float32),
-                 ((0, hc - ho), (0, wc - wo)), constant_values=-1e6)
-    my = jnp.pad(map_y.astype(jnp.float32),
-                 ((0, hc - ho), (0, wc - wo)), constant_values=-1e6)
-    lane_valid = (mx >= -1.0) & (mx <= w + 0.0) & \
-                 (my >= -1.0) & (my <= h + 0.0)
-    ix0 = jnp.floor(jnp.clip(mx, -1.5, w + 0.5))
-    iy0 = jnp.floor(jnp.clip(my, -1.5, h + 0.5))
-    big = jnp.float32(1e9)
-    riota = (jnp.arange(hc, dtype=jnp.float32) % 8)[:, None]
-    rmin = _chunk_reduce(jnp.where(lane_valid, iy0 - riota, big), jnp.min)
-    rmax = _chunk_reduce(jnp.where(lane_valid, iy0 - riota, -big),
-                         jnp.max)
-    cmin = _chunk_reduce(jnp.where(lane_valid, ix0, big), jnp.min)
-    cmax = _chunk_reduce(jnp.where(lane_valid, ix0, -big), jnp.max)
-    return (jnp.all(rmax - rmin <= nsel - 2)
-            & jnp.all(cmax - cmin <= _CW - 130))
-
-
-def _rot90_maps(sx, sy, s, k):
-    """(sx', sy') in rot90(P, k) coordinates for a square (s, s) canvas."""
-    sm = jnp.float32(s - 1)
-    return (
-        jax.lax.switch(k, [
-            lambda: sx, lambda: sy, lambda: sm - sx, lambda: sm - sy]),
-        jax.lax.switch(k, [
-            lambda: sy, lambda: sm - sx, lambda: sm - sy, lambda: sx]),
-    )
-
-
-def _warp_exact_common(img: jax.Array, map_fn, dsize: Tuple[int, int],
+def _warp_exact_common(img: jax.Array, coefs: jax.Array,
+                       dsize: Tuple[int, int],
                        mode: str, padding_mode: str, fill_value: float,
-                       nsel: int, fallback: bool = True) -> jax.Array:
+                       nsel: int, fallback: bool = True,
+                       form: str = "affine") -> jax.Array:
     """Shared path for warp_affine/warp_perspective via the exact chunk
     kernel: rot90-normalize the inverse map, integer-pre-shear the
-    source so every destination chunk becomes row-local, run the chunk
-    kernel, and fall back to the scalar gather for maps outside the
-    static capacity (|kappa| > KMAX, extreme scales, horizons).
+    source so every destination chunk becomes row-local, run the
+    MAPLESS chunk kernel (the dest->src map is the (9,) ``coefs``
+    vector [c1x c2x c0x  c1y c2y c0y  p1 p2 p0], evaluated in-register
+    — no map arrays exist), and fall back to the scalar gather for
+    maps outside the static capacity (|kappa| > KMAX, extreme scales,
+    horizons).
     """
     new_h, new_w = dsize
     squeeze = img.ndim == 2
     x = img[..., None] if squeeze else img
     h, w, nch = x.shape
     in_dtype = img.dtype
-
     s = max(h, w)
-    gx, gy = jnp.meshgrid(jnp.arange(new_w, dtype=jnp.float32),
-                          jnp.arange(new_h, dtype=jnp.float32),
-                          indexing="xy")
-    sx, sy = map_fn(gx, gy)                 # original src pixel coords
+    coefs = coefs.astype(jnp.float32)
+
+    def eval_pt(gxp, gyp):
+        sxp_ = coefs[0] * gxp + coefs[1] * gyp + coefs[2]
+        syp_ = coefs[3] * gxp + coefs[4] * gyp + coefs[5]
+        if form == "persp":
+            den = coefs[6] * gxp + coefs[7] * gyp + coefs[8]
+            den = jnp.where(jnp.abs(den) < 1e-8, 1e-8, den)
+            sxp_ = sxp_ / den
+            syp_ = syp_ / den
+        return sxp_, syp_
 
     # pick the rot90 branch with the largest positive row rate e' and
     # derive the pre-shear slope kappa = -d'/a' from central samples
-    yc, xc = new_h // 2, new_w // 2
-    x1 = max(xc - 8, 0)
-    x2 = min(xc + 8, new_w - 1)
-    y1 = max(yc - 8, 0)
-    y2 = min(yc + 8, new_h - 1)
-    ddx = jnp.float32(max(x2 - x1, 1))
-    ddy = jnp.float32(max(y2 - y1, 1))
-    a0 = (sx[yc, x2] - sx[yc, x1]) / ddx    # dsx/dx
-    d0 = (sy[yc, x2] - sy[yc, x1]) / ddx    # dsy/dx
-    b0 = (sx[y2, xc] - sx[y1, xc]) / ddy    # dsx/dy
-    e0 = (sy[y2, xc] - sy[y1, xc]) / ddy    # dsy/dy
+    ycf = jnp.float32((new_h - 1) // 2)
+    xcf = jnp.float32((new_w - 1) // 2)
+    sx_c, sy_c = eval_pt(xcf, ycf)
+    sx_x, sy_x = eval_pt(xcf + 8.0, ycf)
+    sx_y, sy_y = eval_pt(xcf, ycf + 8.0)
+    a0 = (sx_x - sx_c) / 8.0    # dsx/dx
+    d0 = (sy_x - sy_c) / 8.0    # dsy/dx
+    b0 = (sx_y - sx_c) / 8.0    # dsx/dy
+    e0 = (sy_y - sy_c) / 8.0    # dsy/dy
     e_cands = jnp.stack([e0, -b0, -e0, b0])
     k = jnp.argmax(e_cands).astype(jnp.int32)
 
+    nearest = mode == "nearest"
+    border = padding_mode == "border"
+
     # ---- direct fast path: near-axis-aligned maps skip the rot90 /
     # square canvas / pre-shear pipeline entirely (the common
-    # scale/translate/small-rotation case: ~0.45 ms at 1080p vs ~1.2)
-    mxd = sx
-    myd = sy
-    if padding_mode == "border":
-        mxd = jnp.clip(mxd, 0.0, w - 1.0)
-        myd = jnp.clip(myd, 0.0, h - 1.0)
-    if mode == "nearest":
-        mxd = jnp.floor(mxd + 0.5)
-        myd = jnp.floor(myd + 0.5)
-    ok_direct = _capacity_ok(mxd, myd, h, w, nsel)
+    # scale/translate case)
+    box_d = jnp.asarray([0.0, w - 1.0, 0.0, h - 1.0], jnp.float32)
+    hc_d = _round_up(new_h, _BH)
+    wc_d = _round_up(new_w, _BW)
+    rmin_d, rmax_d, cmin_d, cmax_d, okx_d, _pk = _mapless_bounds(
+        coefs, box_d, hc_d, wc_d, h, w, form, nearest, border)
+    ok_direct = (jnp.all(rmax_d - rmin_d <= nsel - 2)
+                 & jnp.all(cmax_d - cmin_d <= _CW - 130) & okx_d)
 
-    sxp, syp = _rot90_maps(sx, sy, s, k)
     ap = jax.lax.switch(k, [lambda: a0, lambda: d0,
                             lambda: -a0, lambda: -d0])
     dp = jax.lax.switch(k, [lambda: d0, lambda: -a0,
@@ -639,20 +899,13 @@ def _warp_exact_common(img: jax.Array, map_fn, dsize: Tuple[int, int],
     kq = jnp.round(kappa * jnp.float32(2.0 ** 20))
     kappa = kq * jnp.float32(2.0 ** -20)
 
-    # rotated content on the square canvas
-    canvas = jnp.zeros((s, s, nch), x.dtype)
-    canvas = jax.lax.dynamic_update_slice(canvas,
-                                          x, (0, 0, 0))
-    canvas = jax.lax.switch(k, [
-        lambda c: c,
-        lambda c: jnp.rot90(c, 1, axes=(0, 1)),
-        lambda c: jnp.rot90(c, 2, axes=(0, 1)),
-        lambda c: jnp.rot90(c, 3, axes=(0, 1)),
-    ], canvas)
-    chw = jnp.moveaxis(canvas, -1, 0).astype(jnp.float32)
 
-    # mask maps to the rotated VALID content box (the square padding is
-    # not real content): valid source box in rot-k coords
+    # rotated VALID content box (the square padding is not real
+    # content) in rot-k coords. The kernel masks taps whose sample
+    # lies beyond the box (+1 px blend rim) to fill; within the rim,
+    # taps land on the canvas's zero padding, which equals cv2
+    # BORDER_CONSTANT only for fill == 0 — non-zero fills take the
+    # fallback for exactness (okk below).
     hf, wf = jnp.float32(h), jnp.float32(w)
     sm = jnp.float32(s - 1)
     ylo = jax.lax.switch(k, [lambda: jnp.float32(0), lambda: sm - wf + 1,
@@ -663,25 +916,6 @@ def _warp_exact_common(img: jax.Array, map_fn, dsize: Tuple[int, int],
                              lambda: sm - wf + 1, lambda: sm - hf + 1])
     xhi = jax.lax.switch(k, [lambda: wf - 1, lambda: hf - 1,
                              lambda: sm, lambda: sm])
-    # push out-of-content samples far out so they read as invalid
-    oob = ((syp < ylo - 1.0) | (syp > yhi + 1.0)
-           | (sxp < xlo - 1.0) | (sxp > xhi + 1.0))
-    sxp = jnp.where(oob, -1e6, sxp)
-    syp = jnp.where(oob, -1e6, syp)
-    # edge-partial samples: taps beyond the content box must read fill,
-    # not square-canvas zeros; the kernel's h/w masks use the FULL
-    # square, so shrink-blend is handled by pre-masking the canvas
-    # border... the canvas beyond content is zero already, which equals
-    # cv2 BORDER_CONSTANT only when fill == 0. Non-zero fills on the
-    # 1-px content rim take the fallback for exactness.
-
-    if padding_mode == "border":
-        sxp = jnp.clip(sxp, xlo, xhi)
-        syp = jnp.clip(syp, ylo, yhi)
-    if mode == "nearest":
-        sxp = jnp.floor(sxp + 0.5)
-        syp = jnp.floor(syp + 0.5)
-
     s0 = jnp.minimum(jnp.floor(kappa * 0.0),
                      jnp.floor(kappa * jnp.float32(s - 1)))
     shift = jnp.floor(kappa * jnp.arange(s, dtype=jnp.float32)) - s0
@@ -690,17 +924,68 @@ def _warp_exact_common(img: jax.Array, map_fn, dsize: Tuple[int, int],
     chw_direct = jnp.moveaxis(x, -1, 0).astype(jnp.float32)
 
     def direct_branch(_):
-        out, _ok = _prepare_and_run(chw_direct, mxd, myd, nsel=nsel,
-                                    fill=float(fill_value))
+        out, _ok = _prepare_and_run_mapless(
+            chw_direct, coefs, box_d, (new_h, new_w), nsel=nsel,
+            fill=float(fill_value), map_form=form, nearest=nearest,
+            border=border)
         return out, jnp.asarray(True)
 
     def sheared_branch(_):
+        # The sheared path keeps the DATA-map route: its per-lane row
+        # metric is floor(sy') + floor(kappa*floor(sx')) whose two
+        # staircases have cancelling slopes by construction — corner
+        # evaluation cannot bound such a non-monotone mix tightly, so
+        # exact per-chunk bounds need the full maps. They are built
+        # HERE, inside the cond branch, so the (common) direct path
+        # never materializes them.
+        gx, gy = jnp.meshgrid(jnp.arange(new_w, dtype=jnp.float32),
+                              jnp.arange(new_h, dtype=jnp.float32),
+                              indexing="xy")
+        sx, sy = eval_pt(gx, gy)
+        smf = jnp.float32(s - 1)
+        sxp = jax.lax.switch(k, [
+            lambda: sx, lambda: sy,
+            lambda: smf - sx, lambda: smf - sy])
+        syp = jax.lax.switch(k, [
+            lambda: sy, lambda: smf - sx,
+            lambda: smf - sy, lambda: sx])
+        # push out-of-content samples far out so they read as invalid
+        oob = ((syp < ylo - 1.0) | (syp > yhi + 1.0)
+               | (sxp < xlo - 1.0) | (sxp > xhi + 1.0))
+        sxp = jnp.where(oob, -1e6, sxp)
+        syp = jnp.where(oob, -1e6, syp)
+        if border:
+            sxp = jnp.clip(sxp, xlo, xhi)
+            syp = jnp.clip(syp, ylo, yhi)
+        if nearest:
+            sxp = jnp.floor(sxp + 0.5)
+            syp = jnp.floor(syp + 0.5)
+
+        # rotated content, already TRANSPOSED for the shear kernel:
+        # srcT = rot90(P, k).T collapses to pure flips for odd k
+        # (rot90(P,1).T = fliplr(P), rot90(P,3).T = flipud(P)) and one
+        # transpose for even k. The old rot90-then-.T chain paid two
+        # relayouts because the lax.switch boundary blocks XLA's
+        # transpose-of-transpose fusion (measured 0.18 ms at 1080p).
+        xc_chw = jnp.moveaxis(x, -1, 0).astype(jnp.float32)
+        canvas_c = jnp.pad(xc_chw, ((0, 0), (0, s - h), (0, s - w)))
+
+        def _srcT_one(p):
+            return jax.lax.switch(k, [
+                lambda q: q.T,
+                lambda q: q[:, ::-1],                 # rot90(P,1).T
+                lambda q: q.T[::-1, ::-1],            # rot90(P,2).T
+                lambda q: q[::-1, :],                 # rot90(P,3).T
+            ], p)
+
+        chw_t = jax.vmap(_srcT_one)(canvas_c)
+
         # build T = pre-sheared content:
         # T[rho, i] = src'[rho - shift[i], i]
-        def shear_one(ch2d):
-            return _lane_shift_pallas(ch2d.T, shift, ht).T
+        def shear_one(srcT2d):
+            return _lane_shift_pallas(srcT2d, shift, ht).T
 
-        t_chw = jax.vmap(shear_one)(chw)
+        t_chw = jax.vmap(shear_one)(chw_t)
         out, okk = _prepare_and_run(
             t_chw, sxp, syp, nsel=nsel, fill=float(fill_value),
             kappa=jnp.stack([kq, s0]), orig_hw=(s, s))
@@ -717,6 +1002,10 @@ def _warp_exact_common(img: jax.Array, map_fn, dsize: Tuple[int, int],
     if fallback:
         def slow(_):
             from kornia_tpu.ops.interpolation import grid_sample
+            gx, gy = jnp.meshgrid(
+                jnp.arange(new_w, dtype=jnp.float32),
+                jnp.arange(new_h, dtype=jnp.float32), indexing="xy")
+            sx, sy = eval_pt(gx, gy)
             res = grid_sample(x.astype(jnp.float32), sx, sy,
                               mode="bilinear" if mode != "nearest"
                               else "nearest",
@@ -741,8 +1030,13 @@ def warp_affine_exact(img: jax.Array, m: jax.Array,
 
     ``m`` is the 2x3 src->dst matrix; every destination pixel samples
     the inverse map with single-pass bilinear taps, identical to the
-    gather formulation. ~0.5 ms at 1080p vs ~60 ms for the gather path
-    and 0.842 ms for the reference's CUDA kernel (BASELINE.md [A]).
+    gather formulation. Slope-measured at 1080p on v5e: ~0.35-0.45 ms
+    for near-axis maps (translate/scale/rot<~15deg — the MAPLESS
+    direct path: the map is evaluated in-register from coefficients,
+    no map arrays exist), ~0.85 ms for large rotations (rot90-
+    normalize + integer pre-shear + data-map chunk kernel), vs ~60 ms
+    for the scalar-gather path and 0.842 ms for the reference's CUDA
+    kernel on AGX Orin (BASELINE.md [A]).
     """
     mm = m.astype(jnp.float32)
     a = mm[:, :2]
@@ -753,13 +1047,12 @@ def warp_affine_exact(img: jax.Array, m: jax.Array,
         jnp.stack([-a[1, 0], a[0, 0]])]) / det
     tinv = -ainv @ mm[:, 2]
 
-    def map_fn(gx, gy):
-        sx = ainv[0, 0] * gx + ainv[0, 1] * gy + tinv[0]
-        sy = ainv[1, 0] * gx + ainv[1, 1] * gy + tinv[1]
-        return sx, sy
-
-    return _warp_exact_common(img, map_fn, dsize, mode, padding_mode,
-                              fill_value, nsel, fallback)
+    coefs = jnp.stack([
+        ainv[0, 0], ainv[0, 1], tinv[0],
+        ainv[1, 0], ainv[1, 1], tinv[1],
+        jnp.float32(0), jnp.float32(0), jnp.float32(1)])
+    return _warp_exact_common(img, coefs, dsize, mode, padding_mode,
+                              fill_value, nsel, fallback, form="affine")
 
 
 def warp_perspective_exact(img: jax.Array, m: jax.Array,
@@ -775,13 +1068,6 @@ def warp_perspective_exact(img: jax.Array, m: jax.Array,
     window capacity (extreme horizons) fall back to the gather path.
     """
     minv = jnp.linalg.inv(m.astype(jnp.float32))
-
-    def map_fn(gx, gy):
-        den = minv[2, 0] * gx + minv[2, 1] * gy + minv[2, 2]
-        den = jnp.where(jnp.abs(den) < 1e-8, 1e-8, den)
-        sx = (minv[0, 0] * gx + minv[0, 1] * gy + minv[0, 2]) / den
-        sy = (minv[1, 0] * gx + minv[1, 1] * gy + minv[1, 2]) / den
-        return sx, sy
-
-    return _warp_exact_common(img, map_fn, dsize, mode, padding_mode,
-                              fill_value, nsel, fallback)
+    coefs = minv.reshape(9)
+    return _warp_exact_common(img, coefs, dsize, mode, padding_mode,
+                              fill_value, nsel, fallback, form="persp")
