@@ -76,6 +76,15 @@ class BAProblem(NamedTuple):
     # per-observation measured camera-frame depth + weight (0 = none)
     obs_depth: Optional[jax.Array] = None      # (M,)
     obs_depth_w: Optional[jax.Array] = None    # (M,)
+    # tiled segment engine (built host-side when observations are
+    # sorted by point and every _SEG_T-tile spans <= _SEG_S points):
+    # TPU scatter/gather runs at scalar rate (~0.6 ms per (M,3)
+    # segment_sum at M=100k — PERF_NOTES gather cliff), so the
+    # point-side segmented reductions become tiled one-hot MXU
+    # contractions and the camera-side ones a (P, M) one-hot matmul.
+    seg_oh: Optional[jax.Array] = None    # (n_tiles, _SEG_T, _SEG_S) f32
+    seg_ids: Optional[jax.Array] = None   # (n_tiles * _SEG_S,) int32
+    cam_oh: Optional[jax.Array] = None    # (P, M) f32
 
 
 class BAResult(NamedTuple):
@@ -88,22 +97,69 @@ class BAResult(NamedTuple):
     iterations: jax.Array
 
 
+# tiled segment engine geometry: _SEG_T sorted observations per tile,
+# local one-hot over a <= _SEG_S point window (SLAM maps average >= 3
+# observations per point, so a 512-obs tile spans far fewer than 128
+# points; problems that violate the span fall back to segment_sum)
+_SEG_T = 1024
+_SEG_S = 128
+_CAM_OH_BYTES = 512 * 1024 * 1024   # (P, M) one-hot budget
+
+
 def build_problem(
     poses, points, k, obs_cam, obs_pt, obs_uv,
     obs_w=None, fixed_poses=None, fixed_points=None,
     max_obs_per_point: Optional[int] = None,
     obs_depth=None, obs_depth_w=None,
 ) -> BAProblem:
-    """Host-side construction: groups observations by point (static
-    topology → static shapes) and pads to K = max obs per point."""
+    """Host-side construction: sorts observations by point, groups them
+    by point (static topology → static shapes, padded to K = max obs
+    per point), and precomputes the tiled segment engine (see the
+    BAProblem field comments) when the topology admits it."""
     obs_cam = np.asarray(obs_cam, np.int32)
     obs_pt = np.asarray(obs_pt, np.int32)
+    obs_uv = np.asarray(obs_uv, np.float32)
     n_pts = np.asarray(points).shape[0]
     n_poses = np.asarray(poses).shape[0]
     m = obs_cam.shape[0]
     if obs_w is None:
         obs_w = np.ones(m, np.float32)
-    counts = np.bincount(obs_pt, minlength=n_pts)
+    obs_w = np.asarray(obs_w, np.float32)
+    if obs_depth is not None:
+        obs_depth = np.asarray(obs_depth, np.float32)
+        obs_depth_w = np.asarray(
+            np.ones(m, np.float32) if obs_depth_w is None else obs_depth_w,
+            np.float32)
+
+    # sort by point: the segmented reductions become tile-local, and
+    # results are order-independent
+    perm = np.argsort(obs_pt, kind="stable")
+    obs_cam = obs_cam[perm]
+    obs_pt = obs_pt[perm]
+    obs_uv = obs_uv[perm]
+    obs_w = obs_w[perm]
+    if obs_depth is not None:
+        obs_depth = obs_depth[perm]
+        obs_depth_w = obs_depth_w[perm]
+
+    # pad M to a tile multiple with zero-weight observations (they
+    # contribute exactly zero everywhere: every accumulated quantity
+    # is scaled by obs_w)
+    m_pad = -m % _SEG_T
+    if m_pad:
+        obs_cam = np.concatenate([obs_cam, np.zeros(m_pad, np.int32)])
+        obs_pt = np.concatenate(
+            [obs_pt, np.full(m_pad, n_pts - 1, np.int32)])
+        obs_uv = np.concatenate([obs_uv, np.zeros((m_pad, 2), np.float32)])
+        obs_w = np.concatenate([obs_w, np.zeros(m_pad, np.float32)])
+        if obs_depth is not None:
+            obs_depth = np.concatenate(
+                [obs_depth, np.zeros(m_pad, np.float32)])
+            obs_depth_w = np.concatenate(
+                [obs_depth_w, np.zeros(m_pad, np.float32)])
+    mp = m + m_pad
+
+    counts = np.bincount(obs_pt[:m], minlength=n_pts)
     K = int(counts.max()) if max_obs_per_point is None else max_obs_per_point
     K = max(K, 1)
     by_pt = np.zeros((n_pts, K), np.int32)
@@ -115,6 +171,34 @@ def build_problem(
             by_pt[j, slot[j]] = i
             by_pt_mask[j, slot[j]] = True
             slot[j] += 1
+
+    # tiled segment engine (point side) + camera one-hot
+    seg_oh = seg_ids = cam_oh = None
+    pt_tiles = obs_pt.reshape(-1, _SEG_T)
+    base = pt_tiles.min(axis=1)
+    span = pt_tiles.max(axis=1) - base + 1
+    if span.max() <= _SEG_S:
+        n_tiles = pt_tiles.shape[0]
+        local = pt_tiles - base[:, None]
+        seg_oh_np = np.zeros((n_tiles, _SEG_T, _SEG_S), np.float32)
+        ti = np.repeat(np.arange(n_tiles), _SEG_T)
+        oi = np.tile(np.arange(_SEG_T), n_tiles)
+        seg_oh_np[ti, oi, local.reshape(-1)] = 1.0
+        ids = base[:, None] + np.arange(_SEG_S)[None, :]
+        seg_ids_np = np.clip(ids, 0, n_pts - 1).astype(np.int32)
+        # rows clipped at the top contribute zeros (no one-hot mass)
+        seg_oh = jnp.asarray(seg_oh_np)
+        seg_ids = jnp.asarray(seg_ids_np.reshape(-1))
+    if n_poses * mp * 4 <= _CAM_OH_BYTES:
+        # padding columns keep their one-hot (camera 0): reductions
+        # through them are exactly zero (every accumulated quantity is
+        # obs_w-scaled and padding has w=0) and expansions then return
+        # real pose values (zeros would poison downstream quaternion
+        # math with NaNs)
+        cam_oh_np = np.zeros((n_poses, mp), np.float32)
+        cam_oh_np[obs_cam, np.arange(mp)] = 1.0
+        cam_oh = jnp.asarray(cam_oh_np)
+
     return BAProblem(
         poses=jnp.asarray(poses, jnp.float32),
         points=jnp.asarray(points, jnp.float32),
@@ -129,9 +213,11 @@ def build_problem(
         obs_by_point_mask=jnp.asarray(by_pt_mask),
         obs_depth=(None if obs_depth is None
                    else jnp.asarray(obs_depth, jnp.float32)),
-        obs_depth_w=(None if obs_depth is None else jnp.asarray(
-            np.ones(m, np.float32) if obs_depth_w is None
-            else obs_depth_w, jnp.float32)),
+        obs_depth_w=(None if obs_depth is None
+                     else jnp.asarray(obs_depth_w, jnp.float32)),
+        seg_oh=seg_oh,
+        seg_ids=seg_ids,
+        cam_oh=cam_oh,
     )
 
 
@@ -145,6 +231,7 @@ def _project_with_jacobians(
     obs_cam: jax.Array, obs_pt: jax.Array, obs_uv: jax.Array,
     obs_depth: Optional[jax.Array] = None,
     obs_depth_w: Optional[jax.Array] = None,
+    seg_oh=None, seg_ids=None, cam_oh=None,
 ):
     """Per-observation residual (M, R), J_pose (M, R, 6) wrt [ρ; ω] left
     perturbation, J_pt (M, R, 3) (reference ba_schur.rs residual/Jacobian
@@ -152,8 +239,8 @@ def _project_with_jacobians(
     row ``w_d · (z_cam − depth)`` is appended (R = 3; reference
     BaObservation depth channel, ba.rs:41,83) — the per-row weight rides
     the residual AND Jacobian row so the normal equations see w_d²."""
-    pose_i = poses[obs_cam]       # (M, 7)
-    pt_i = points[obs_pt]         # (M, 3)
+    pose_i = _expand_cam(poses, obs_cam, cam_oh)   # (M, 7)
+    pt_i = _expand_pt(points, obs_pt, seg_oh, seg_ids)  # (M, 3)
     p_cam = lg.se3_apply(pose_i, pt_i)  # (M, 3)
     x, y = p_cam[:, 0], p_cam[:, 1]
     z = jnp.maximum(p_cam[:, 2], _MIN_Z)
@@ -203,6 +290,8 @@ def ba_cost(problem: BAProblem, poses=None, points=None, params: BAParams = BAPa
     r, _, _ = _project_with_jacobians(
         poses, points, problem.k, problem.obs_cam, problem.obs_pt,
         problem.obs_uv, problem.obs_depth, problem.obs_depth_w,
+        seg_oh=problem.seg_oh, seg_ids=problem.seg_ids,
+        cam_oh=problem.cam_oh,
     )
     sq = jnp.sum(r * r, axis=-1)
     w = LOSSES[params.loss](sq, params.loss_scale)
@@ -212,6 +301,60 @@ def ba_cost(problem: BAProblem, poses=None, points=None, params: BAParams = BAPa
 # ---------------------------------------------------------------------------
 # one damped Schur step (shared by single-host and distributed BA)
 # ---------------------------------------------------------------------------
+
+
+# ---------------------------------------------------------------------------
+# tiled segment engine: segmented reductions / expansions without
+# scalar-rate scatters and gathers (PERF_NOTES gather cliff: one
+# (100k, 3) segment_sum costs ~0.6 ms on v5e; the PCG matvec does four
+# such ops per CG step). With observations sorted by point, the
+# point-side reduction is a per-tile one-hot contraction on the MXU
+# plus a 16x-smaller combine scatter; the camera side is one (P, M)
+# one-hot matmul. All paths fall back to segment_sum when the engine
+# is absent (unsorted problems, over-span tiles, huge P*M).
+# ---------------------------------------------------------------------------
+
+
+def _seg_sum_pt(vals, obs_pt, n, seg_oh=None, seg_ids=None):
+    """segment_sum(vals (M, ...), obs_pt, n) at vector rate."""
+    if seg_oh is None:
+        return jax.ops.segment_sum(vals, obs_pt, num_segments=n)
+    t, tt, s = seg_oh.shape
+    trail = vals.shape[1:]
+    flat = vals.reshape(t, tt, -1)
+    part = jnp.einsum("tos,tok->tsk", seg_oh, flat, precision=_HI)
+    out = jax.ops.segment_sum(part.reshape(t * s, -1), seg_ids,
+                              num_segments=n)
+    return out.reshape((n,) + trail)
+
+
+def _expand_pt(vals_n, obs_pt, seg_oh=None, seg_ids=None):
+    """vals_n[obs_pt] (an (M,)-row gather) at near-vector rate."""
+    if seg_oh is None:
+        return vals_n[obs_pt]
+    t, tt, s = seg_oh.shape
+    trail = vals_n.shape[1:]
+    rows = vals_n.reshape(vals_n.shape[0], -1)[seg_ids].reshape(t, s, -1)
+    out = jnp.einsum("tos,tsk->tok", seg_oh, rows, precision=_HI)
+    return out.reshape((t * tt,) + trail)
+
+
+def _seg_sum_cam(vals, obs_cam, p, cam_oh=None):
+    if cam_oh is None:
+        return jax.ops.segment_sum(vals, obs_cam, num_segments=p)
+    trail = vals.shape[1:]
+    out = jnp.einsum("pm,mk->pk", cam_oh,
+                     vals.reshape(vals.shape[0], -1), precision=_HI)
+    return out.reshape((p,) + trail)
+
+
+def _expand_cam(vals_p, obs_cam, cam_oh=None):
+    if cam_oh is None:
+        return vals_p[obs_cam]
+    trail = vals_p.shape[1:]
+    out = jnp.einsum("pm,pk->mk", cam_oh,
+                     vals_p.reshape(vals_p.shape[0], -1), precision=_HI)
+    return out.reshape((cam_oh.shape[1],) + trail)
 
 
 def schur_normal_equations(
@@ -226,6 +369,8 @@ def schur_normal_equations(
     r, j_pose, j_pt = _project_with_jacobians(
         poses, points, problem.k, problem.obs_cam, problem.obs_pt,
         problem.obs_uv, problem.obs_depth, problem.obs_depth_w,
+        seg_oh=problem.seg_oh, seg_ids=problem.seg_ids,
+        cam_oh=problem.cam_oh,
     )
     sq = jnp.sum(r * r, axis=-1)
     w = problem.obs_w * LOSSES[params.loss](sq, params.loss_scale)
@@ -239,10 +384,12 @@ def schur_normal_equations(
     gp_terms = -jnp.einsum("mki,mk->mi", wj_pose, r, precision=_HI)        # (M,6)
     gx_terms = -jnp.einsum("mki,mk->mi", wj_pt, r, precision=_HI)          # (M,3)
 
-    U = jax.ops.segment_sum(u_blocks, problem.obs_cam, num_segments=p)
-    g_p = jax.ops.segment_sum(gp_terms, problem.obs_cam, num_segments=p)
-    V = jax.ops.segment_sum(v_blocks, problem.obs_pt, num_segments=n)
-    g_x = jax.ops.segment_sum(gx_terms, problem.obs_pt, num_segments=n)
+    U = _seg_sum_cam(u_blocks, problem.obs_cam, p, problem.cam_oh)
+    g_p = _seg_sum_cam(gp_terms, problem.obs_cam, p, problem.cam_oh)
+    V = _seg_sum_pt(v_blocks, problem.obs_pt, n,
+                    problem.seg_oh, problem.seg_ids)
+    g_x = _seg_sum_pt(gx_terms, problem.obs_pt, n,
+                      problem.seg_oh, problem.seg_ids)
     return U, g_p, V, g_x, b_blocks
 
 
@@ -265,12 +412,18 @@ def reduce_camera_system(
 
     # per-observation Y_i = B_i · V⁻¹[pt_i]
     y_blocks = jnp.einsum(
-        "mij,mjk->mik", b_blocks, v_inv[problem.obs_pt], precision=_HI
+        "mij,mjk->mik", b_blocks,
+        _expand_pt(v_inv, problem.obs_pt,
+                   problem.seg_oh, problem.seg_ids), precision=_HI
     )  # (M, 6, 3)
 
     # rhs_p = g_p − Σ_i Y_i g_x[pt_i]
-    rhs_terms = jnp.einsum("mij,mj->mi", y_blocks, g_x[problem.obs_pt], precision=_HI)
-    rhs_p = g_p - jax.ops.segment_sum(rhs_terms, problem.obs_cam, num_segments=p)
+    rhs_terms = jnp.einsum(
+        "mij,mj->mi", y_blocks,
+        _expand_pt(g_x, problem.obs_pt,
+                   problem.seg_oh, problem.seg_ids), precision=_HI)
+    rhs_p = g_p - _seg_sum_cam(rhs_terms, problem.obs_cam, p,
+                               problem.cam_oh)
 
     # S = blockdiag(U damped) − Σ_pt Yc[pt,a] Bc[pt,b]ᵀ where
     # Bc[pt,cam] = Σ_{i: pt_i=pt, cam_i=cam} B_i and Yc = Bc·V⁻¹[pt].
@@ -305,9 +458,10 @@ def back_substitute_points(
 ):
     """δx_j = V⁻¹_j (g_x_j − Σ_{i ∈ obs(j)} Bᵢᵀ δp[camᵢ])."""
     n = v_inv.shape[0]
-    dp_obs = delta_pose[problem.obs_cam]  # (M, 6)
+    dp_obs = _expand_cam(delta_pose, problem.obs_cam, problem.cam_oh)
     bt_dp = jnp.einsum("mij,mi->mj", b_blocks, dp_obs, precision=_HI)  # (M, 3)
-    acc = jax.ops.segment_sum(bt_dp, problem.obs_pt, num_segments=n)
+    acc = _seg_sum_pt(bt_dp, problem.obs_pt, n,
+                      problem.seg_oh, problem.seg_ids)
     dx = jnp.einsum("nij,nj->ni", v_inv, g_x - acc, precision=_HI)
     return dx * (~problem.fixed_points)[:, None]
 
@@ -346,23 +500,28 @@ def _pcg_reduced_solve(problem: BAProblem, U, g_p, V, g_x, b_blocks,
         * jnp.eye(6, dtype=U.dtype)
 
     # rhs = g_p - sum_i B_i V^-1[pt_i] g_x[pt_i], gauge-masked
-    yg = jnp.einsum("mij,mj->mi", b_blocks,
-                    jnp.einsum("nij,nj->ni", v_inv, g_x)[problem.obs_pt],
-                    precision=_HI)
-    rhs = (g_p - jax.ops.segment_sum(yg, problem.obs_cam,
-                                     num_segments=p)) * free[:, None]
+    yg = jnp.einsum(
+        "mij,mj->mi", b_blocks,
+        _expand_pt(jnp.einsum("nij,nj->ni", v_inv, g_x),
+                   problem.obs_pt, problem.seg_oh, problem.seg_ids),
+        precision=_HI)
+    rhs = (g_p - _seg_sum_cam(yg, problem.obs_cam, p,
+                              problem.cam_oh)) * free[:, None]
 
     def matvec(v):
         vf = v * free[:, None]
-        t1 = jnp.einsum("mij,mi->mj", b_blocks, vf[problem.obs_cam],
+        t1 = jnp.einsum("mij,mi->mj", b_blocks,
+                        _expand_cam(vf, problem.obs_cam, problem.cam_oh),
                         precision=_HI)
-        t2 = jax.ops.segment_sum(t1, problem.obs_pt, num_segments=n)
+        t2 = _seg_sum_pt(t1, problem.obs_pt, n,
+                         problem.seg_oh, problem.seg_ids)
         t3 = jnp.einsum("nij,nj->ni", v_inv, t2, precision=_HI)
-        t4 = jnp.einsum("mij,mj->mi", b_blocks, t3[problem.obs_pt],
+        t4 = jnp.einsum("mij,mj->mi", b_blocks,
+                        _expand_pt(t3, problem.obs_pt,
+                                   problem.seg_oh, problem.seg_ids),
                         precision=_HI)
         uv = jnp.einsum("pij,pj->pi", u_damped, vf, precision=_HI)
-        sv = uv - jax.ops.segment_sum(t4, problem.obs_cam,
-                                      num_segments=p)
+        sv = uv - _seg_sum_cam(t4, problem.obs_cam, p, problem.cam_oh)
         return sv * free[:, None] + v * (1.0 - free[:, None])
 
     # block-Jacobi preconditioner (identity on fixed poses)
