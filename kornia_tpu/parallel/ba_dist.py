@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import numpy as np
 import jax
@@ -60,6 +60,14 @@ class ShardedBAProblem(NamedTuple):
     obs_by_point: jax.Array   # (D, Nl, K) local obs ids
     obs_by_point_mask: jax.Array  # (D, Nl, K)
     n_points: int             # true (unpadded) point count
+    # per-shard tiled segment engine (optim/ba.py engine, sharded):
+    # on real chips the per-device segmented reductions hit the same
+    # scalar-rate scatter wall as single-host BA; each shard's
+    # observations stay point-sorted, so the same one-hot MXU
+    # formulation applies locally.
+    seg_oh: Optional[jax.Array] = None    # (D, tiles, T, S) f32
+    seg_ids: Optional[jax.Array] = None   # (D, tiles * S) int32
+    cam_oh: Optional[jax.Array] = None    # (D, P, Ml) f32
 
 
 def shard_problem(problem: ba_mod.BAProblem, n_devices: int) -> ShardedBAProblem:
@@ -84,9 +92,14 @@ def shard_problem(problem: ba_mod.BAProblem, n_devices: int) -> ShardedBAProblem
     # assign each observation to the shard owning its point
     shard_of_obs = obs_pt // nl
     ml = max(int(np.bincount(shard_of_obs, minlength=n_devices).max()), 1)
+    ml += -ml % ba_mod._SEG_T   # tile multiple for the segment engine
 
     o_cam = np.zeros((n_devices, ml), np.int32)
-    o_pt = np.zeros((n_devices, ml), np.int32)
+    # padding slots carry the shard's LAST local point id (not 0) so
+    # per-shard observations stay sorted by point — the tiled segment
+    # engine requires tile-local point windows; padding weight is 0 so
+    # the entries contribute exactly nothing
+    o_pt = np.full((n_devices, ml), nl - 1, np.int32)
     o_uv = np.zeros((n_devices, ml, 2), np.float32)
     o_w = np.zeros((n_devices, ml), np.float32)
     fill = np.zeros(n_devices, np.int32)
@@ -112,6 +125,32 @@ def shard_problem(problem: ba_mod.BAProblem, n_devices: int) -> ShardedBAProblem
                 bym[d, j, slot[d, j]] = True
                 slot[d, j] += 1
 
+    # per-shard tiled segment engine + camera one-hot (see optim/ba.py)
+    seg_t, seg_s = ba_mod._SEG_T, ba_mod._SEG_S
+    n_poses = np.asarray(problem.poses).shape[0]
+    seg_oh = seg_ids = cam_oh = None
+    tiles = o_pt.reshape(n_devices, -1, seg_t)
+    base = tiles.min(axis=2)
+    span = tiles.max(axis=2) - base + 1
+    if span.max() <= seg_s:
+        n_tiles = tiles.shape[1]
+        local = tiles - base[..., None]
+        oh = np.zeros((n_devices, n_tiles, seg_t, seg_s), np.float32)
+        di = np.repeat(np.arange(n_devices), n_tiles * seg_t)
+        ti = np.tile(np.repeat(np.arange(n_tiles), seg_t), n_devices)
+        oi = np.tile(np.arange(seg_t), n_devices * n_tiles)
+        oh[di, ti, oi, local.reshape(-1)] = 1.0
+        ids = base[..., None] + np.arange(seg_s)[None, None, :]
+        seg_oh = jnp.asarray(oh)
+        seg_ids = jnp.asarray(
+            np.clip(ids, 0, nl - 1).reshape(n_devices, -1).astype(np.int32))
+    if n_poses * ml * 4 <= ba_mod._CAM_OH_BYTES:
+        coh = np.zeros((n_devices, n_poses, ml), np.float32)
+        coh[np.repeat(np.arange(n_devices), ml).reshape(n_devices, ml),
+            o_cam, np.tile(np.arange(ml), n_devices).reshape(n_devices, ml)
+            ] = 1.0
+        cam_oh = jnp.asarray(coh)
+
     return ShardedBAProblem(
         poses=problem.poses,
         points=jnp.asarray(pts_pad.reshape(n_devices, nl, 3)),
@@ -125,11 +164,17 @@ def shard_problem(problem: ba_mod.BAProblem, n_devices: int) -> ShardedBAProblem
         obs_by_point=jnp.asarray(by),
         obs_by_point_mask=jnp.asarray(bym),
         n_points=n,
+        seg_oh=seg_oh,
+        seg_ids=seg_ids,
+        cam_oh=cam_oh,
     )
 
 
-def _local_cost(poses, points_l, k, obs_cam, obs_pt, obs_uv, obs_w, params):
-    r, _, _ = ba_mod._project_with_jacobians(poses, points_l, k, obs_cam, obs_pt, obs_uv)
+def _local_cost(poses, points_l, k, obs_cam, obs_pt, obs_uv, obs_w, params,
+                seg_oh=None, seg_ids=None, cam_oh=None):
+    r, _, _ = ba_mod._project_with_jacobians(
+        poses, points_l, k, obs_cam, obs_pt, obs_uv,
+        seg_oh=seg_oh, seg_ids=seg_ids, cam_oh=cam_oh)
     sq = jnp.sum(r * r, axis=-1)
     w = LOSSES[params.loss](sq, params.loss_scale)
     return 0.5 * jnp.sum(obs_w * w * sq)
@@ -142,8 +187,11 @@ def bundle_adjust_schur_dist(
     p = sharded.poses.shape[0]
     axis = mesh.axis_names[0]
 
+    has_seg = sharded.seg_oh is not None
+    has_cam = sharded.cam_oh is not None
+
     def spmd(poses, points_s, k, obs_cam_s, obs_pt_s, obs_uv_s, obs_w_s,
-             fixed_poses, fixed_points_s, by_s, bym_s):
+             fixed_poses, fixed_points_s, by_s, bym_s, *eng):
         # strip the shard axis (shard_map gives (1, ...) blocks)
         points_l = points_s[0]
         obs_cam = obs_cam_s[0]
@@ -154,15 +202,25 @@ def bundle_adjust_schur_dist(
         by = by_s[0]
         bym = bym_s[0]
         nl = points_l.shape[0]
+        ei = 0
+        seg_oh_l = seg_ids_l = cam_oh_l = None
+        if has_seg:
+            seg_oh_l, seg_ids_l = eng[ei][0], eng[ei + 1][0]
+            ei += 2
+        if has_cam:
+            cam_oh_l = eng[ei][0]
 
         def total_cost(ps, pts_l):
-            local = _local_cost(ps, pts_l, k, obs_cam, obs_pt, obs_uv, obs_w, params)
+            local = _local_cost(ps, pts_l, k, obs_cam, obs_pt, obs_uv,
+                                obs_w, params, seg_oh_l, seg_ids_l,
+                                cam_oh_l)
             return jax.lax.psum(local, axis)
 
         def step(carry, _):
             poses_c, points_c, lam, cost = carry
             r, j_pose, j_pt = ba_mod._project_with_jacobians(
-                poses_c, points_c, k, obs_cam, obs_pt, obs_uv
+                poses_c, points_c, k, obs_cam, obs_pt, obs_uv,
+                seg_oh=seg_oh_l, seg_ids=seg_ids_l, cam_oh=cam_oh_l,
             )
             sq = jnp.sum(r * r, axis=-1)
             w = obs_w * LOSSES[params.loss](sq, params.loss_scale)
@@ -175,14 +233,15 @@ def bundle_adjust_schur_dist(
             gp_t = -jnp.einsum("mki,mk->mi", wj_pose, r, precision=_HI)
             gx_t = -jnp.einsum("mki,mk->mi", wj_pt, r, precision=_HI)
 
-            u_partial = jax.ops.segment_sum(u_b, obs_cam, num_segments=p)
-            gp_partial = jax.ops.segment_sum(gp_t, obs_cam, num_segments=p)
+            u_partial = ba_mod._seg_sum_cam(u_b, obs_cam, p, cam_oh_l)
+            gp_partial = ba_mod._seg_sum_cam(gp_t, obs_cam, p, cam_oh_l)
             # pose blocks need the cross-device sum (poses are shared)
             U = jax.lax.psum(u_partial, axis)
             g_p = jax.lax.psum(gp_partial, axis)
             # point blocks are fully local (obs co-located with points)
-            V = jax.ops.segment_sum(v_b, obs_pt, num_segments=nl)
-            g_x = jax.ops.segment_sum(gx_t, obs_pt, num_segments=nl)
+            V = ba_mod._seg_sum_pt(v_b, obs_pt, nl, seg_oh_l, seg_ids_l)
+            g_x = ba_mod._seg_sum_pt(gx_t, obs_pt, nl, seg_oh_l,
+                                     seg_ids_l)
 
             eye3 = jnp.eye(3, dtype=jnp.float32)
             v_damped = V + (lam * jnp.maximum(
@@ -193,10 +252,17 @@ def bundle_adjust_schur_dist(
                 inv3x3(v_damped + (~active)[:, None, None] * eye3),
                 0.0,
             )
-            y_b = jnp.einsum("mij,mjk->mik", b_b, v_inv[obs_pt], precision=_HI)
+            y_b = jnp.einsum(
+                "mij,mjk->mik", b_b,
+                ba_mod._expand_pt(v_inv, obs_pt, seg_oh_l, seg_ids_l),
+                precision=_HI)
 
-            rhs_terms = jnp.einsum("mij,mj->mi", y_b, g_x[obs_pt], precision=_HI)
-            rhs_partial = jax.ops.segment_sum(rhs_terms, obs_cam, num_segments=p)
+            rhs_terms = jnp.einsum(
+                "mij,mj->mi", y_b,
+                ba_mod._expand_pt(g_x, obs_pt, seg_oh_l, seg_ids_l),
+                precision=_HI)
+            rhs_partial = ba_mod._seg_sum_cam(rhs_terms, obs_cam, p,
+                                              cam_oh_l)
             rhs_p = g_p - jax.lax.psum(rhs_partial, axis)
 
             free = (~fixed_poses).astype(jnp.float32)
@@ -214,16 +280,21 @@ def bundle_adjust_schur_dist(
 
                 def matvec(v):
                     vf = v * free[:, None]
-                    t1 = jnp.einsum("mij,mi->mj", b_b, vf[obs_cam],
-                                    precision=_HI)
-                    t2 = jax.ops.segment_sum(t1, obs_pt,
-                                             num_segments=nl)
+                    t1 = jnp.einsum(
+                        "mij,mi->mj", b_b,
+                        ba_mod._expand_cam(vf, obs_cam, cam_oh_l),
+                        precision=_HI)
+                    t2 = ba_mod._seg_sum_pt(t1, obs_pt, nl,
+                                            seg_oh_l, seg_ids_l)
                     t3 = jnp.einsum("nij,nj->ni", v_inv, t2,
                                     precision=_HI)
-                    t4 = jnp.einsum("mij,mj->mi", b_b, t3[obs_pt],
-                                    precision=_HI)
-                    sv_part = jax.ops.segment_sum(
-                        t4, obs_cam, num_segments=p)
+                    t4 = jnp.einsum(
+                        "mij,mj->mi", b_b,
+                        ba_mod._expand_pt(t3, obs_pt, seg_oh_l,
+                                          seg_ids_l),
+                        precision=_HI)
+                    sv_part = ba_mod._seg_sum_cam(t4, obs_cam, p,
+                                                  cam_oh_l)
                     sv = (jnp.einsum("pij,pj->pi", u_damped, vf,
                                      precision=_HI)
                           - jax.lax.psum(sv_part, axis))
@@ -296,8 +367,11 @@ def bundle_adjust_schur_dist(
                 dp = dp * free[:, None]
 
             # local point back-substitution
-            bt_dp = jnp.einsum("mij,mi->mj", b_b, dp[obs_cam], precision=_HI)
-            acc = jax.ops.segment_sum(bt_dp, obs_pt, num_segments=nl)
+            bt_dp = jnp.einsum(
+                "mij,mi->mj", b_b,
+                ba_mod._expand_cam(dp, obs_cam, cam_oh_l), precision=_HI)
+            acc = ba_mod._seg_sum_pt(bt_dp, obs_pt, nl, seg_oh_l,
+                                     seg_ids_l)
             dx = jnp.einsum("nij,nj->ni", v_inv, g_x - acc, precision=_HI)
             dx = dx * (~fixed_points_l)[:, None]
 
@@ -321,12 +395,21 @@ def bundle_adjust_schur_dist(
         )
         return poses_f, points_f[None], c0, cost_f
 
+    eng_args = []
+    eng_specs = []
+    if sharded.seg_oh is not None:
+        eng_args += [sharded.seg_oh, sharded.seg_ids]
+        eng_specs += [P(axis), P(axis)]
+    if sharded.cam_oh is not None:
+        eng_args += [sharded.cam_oh]
+        eng_specs += [P(axis)]
+
     fn = shard_map(
         spmd,
         mesh=mesh,
         in_specs=(
             P(), P(axis), P(), P(axis), P(axis), P(axis), P(axis),
-            P(), P(axis), P(axis), P(axis),
+            P(), P(axis), P(axis), P(axis), *eng_specs,
         ),
         out_specs=(P(), P(axis), P(), P()),
         check_vma=False,
@@ -335,7 +418,7 @@ def bundle_adjust_schur_dist(
         sharded.poses, sharded.points, sharded.k,
         sharded.obs_cam, sharded.obs_pt, sharded.obs_uv, sharded.obs_w,
         sharded.fixed_poses, sharded.fixed_points,
-        sharded.obs_by_point, sharded.obs_by_point_mask,
+        sharded.obs_by_point, sharded.obs_by_point_mask, *eng_args,
     )
     points_full = points_sharded.reshape(-1, 3)[: sharded.n_points]
     return BAResult(
