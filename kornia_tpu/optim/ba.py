@@ -106,6 +106,21 @@ _SEG_S = 128
 _CAM_OH_BYTES = 512 * 1024 * 1024   # (P, M) one-hot budget
 
 
+def _engine_enabled() -> bool:
+    """KORNIA_TPU_BA_ENGINE = on | off | auto (default). Auto enables
+    the one-hot engine only on TPU — on CPU (the virtual-mesh test
+    backend) scatters are cheap and the extra matmul FLOPs just slow
+    things down (same A/B convention as KORNIA_TPU_FAST, §5.1)."""
+    import os
+
+    mode = os.environ.get("KORNIA_TPU_BA_ENGINE", "auto")
+    if mode == "on":
+        return True
+    if mode == "off":
+        return False
+    return jax.default_backend() == "tpu"
+
+
 def build_problem(
     poses, points, k, obs_cam, obs_pt, obs_uv,
     obs_w=None, fixed_poses=None, fixed_points=None,
@@ -174,10 +189,11 @@ def build_problem(
 
     # tiled segment engine (point side) + camera one-hot
     seg_oh = seg_ids = cam_oh = None
+    enabled = _engine_enabled()
     pt_tiles = obs_pt.reshape(-1, _SEG_T)
     base = pt_tiles.min(axis=1)
     span = pt_tiles.max(axis=1) - base + 1
-    if span.max() <= _SEG_S:
+    if enabled and span.max() <= _SEG_S:
         n_tiles = pt_tiles.shape[0]
         local = pt_tiles - base[:, None]
         seg_oh_np = np.zeros((n_tiles, _SEG_T, _SEG_S), np.float32)
@@ -189,7 +205,7 @@ def build_problem(
         # rows clipped at the top contribute zeros (no one-hot mass)
         seg_oh = jnp.asarray(seg_oh_np)
         seg_ids = jnp.asarray(seg_ids_np.reshape(-1))
-    if n_poses * mp * 4 <= _CAM_OH_BYTES:
+    if enabled and n_poses * mp * 4 <= _CAM_OH_BYTES:
         # padding columns keep their one-hot (camera 0): reductions
         # through them are exactly zero (every accumulated quantity is
         # obs_w-scaled and padding has w=0) and expansions then return

@@ -125,14 +125,16 @@ def shard_problem(problem: ba_mod.BAProblem, n_devices: int) -> ShardedBAProblem
                 bym[d, j, slot[d, j]] = True
                 slot[d, j] += 1
 
-    # per-shard tiled segment engine + camera one-hot (see optim/ba.py)
+    # per-shard tiled segment engine + camera one-hot (see optim/ba.py;
+    # KORNIA_TPU_BA_ENGINE gates it — auto = TPU only)
     seg_t, seg_s = ba_mod._SEG_T, ba_mod._SEG_S
     n_poses = np.asarray(problem.poses).shape[0]
     seg_oh = seg_ids = cam_oh = None
+    enabled = ba_mod._engine_enabled()
     tiles = o_pt.reshape(n_devices, -1, seg_t)
     base = tiles.min(axis=2)
     span = tiles.max(axis=2) - base + 1
-    if span.max() <= seg_s:
+    if enabled and span.max() <= seg_s:
         n_tiles = tiles.shape[1]
         local = tiles - base[..., None]
         oh = np.zeros((n_devices, n_tiles, seg_t, seg_s), np.float32)
@@ -144,7 +146,7 @@ def shard_problem(problem: ba_mod.BAProblem, n_devices: int) -> ShardedBAProblem
         seg_oh = jnp.asarray(oh)
         seg_ids = jnp.asarray(
             np.clip(ids, 0, nl - 1).reshape(n_devices, -1).astype(np.int32))
-    if n_poses * ml * 4 <= ba_mod._CAM_OH_BYTES:
+    if enabled and n_poses * ml * 4 <= ba_mod._CAM_OH_BYTES:
         coh = np.zeros((n_devices, n_poses, ml), np.float32)
         coh[np.repeat(np.arange(n_devices), ml).reshape(n_devices, ml),
             o_cam, np.tile(np.arange(ml), n_devices).reshape(n_devices, ml)

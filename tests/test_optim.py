@@ -332,3 +332,50 @@ class TestRgbdBA:
                           dx_dir[np.asarray(obs_pt)])
         np.testing.assert_allclose(ana_p, num_p, atol=5e-2, rtol=5e-2)
         np.testing.assert_allclose(ana_x, num_x, atol=5e-2, rtol=5e-2)
+
+
+class TestSegmentEngine:
+    """The tiled one-hot segment engine (KORNIA_TPU_BA_ENGINE) must be
+    numerically interchangeable with the segment_sum fallback: same
+    problems, same convergence, costs equal to summation-order noise."""
+
+    def test_engine_matches_fallback(self, monkeypatch):
+        (poses_gt, poses_init, pts_gt, pts_init, k,
+         obs_cam, obs_pt, obs_uv, fixed) = make_ba_scene(noise_px=0.5)
+        params = ba_mod.BAParams(max_iterations=10, loss="identity")
+
+        monkeypatch.setenv("KORNIA_TPU_BA_ENGINE", "off")
+        prob_off = ba_mod.build_problem(
+            poses_init, pts_init, k, obs_cam, obs_pt, obs_uv,
+            fixed_poses=fixed)
+        assert prob_off.seg_oh is None and prob_off.cam_oh is None
+        res_off = ba_mod.bundle_adjust_schur(prob_off, params)
+
+        monkeypatch.setenv("KORNIA_TPU_BA_ENGINE", "on")
+        prob_on = ba_mod.build_problem(
+            poses_init, pts_init, k, obs_cam, obs_pt, obs_uv,
+            fixed_poses=fixed)
+        assert prob_on.seg_oh is not None and prob_on.cam_oh is not None
+        res_on = ba_mod.bundle_adjust_schur(prob_on, params)
+
+        np.testing.assert_allclose(
+            float(res_on.initial_cost), float(res_off.initial_cost),
+            rtol=1e-4)
+        np.testing.assert_allclose(
+            float(res_on.final_cost), float(res_off.final_cost),
+            rtol=0.05)
+        np.testing.assert_allclose(
+            np.asarray(res_on.poses), np.asarray(res_off.poses),
+            atol=1e-3)
+
+    def test_engine_pcg(self, monkeypatch):
+        (poses_gt, poses_init, pts_gt, pts_init, k,
+         obs_cam, obs_pt, obs_uv, fixed) = make_ba_scene(noise_px=0.3)
+        monkeypatch.setenv("KORNIA_TPU_BA_ENGINE", "on")
+        problem = ba_mod.build_problem(
+            poses_init, pts_init, k, obs_cam, obs_pt, obs_uv,
+            fixed_poses=fixed)
+        params = ba_mod.BAParams(max_iterations=12, loss="identity",
+                                 solver="pcg", cg_iters=40)
+        res = ba_mod.bundle_adjust_schur(problem, params)
+        assert float(res.final_cost) < 0.1 * float(res.initial_cost)
