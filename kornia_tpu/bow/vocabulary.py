@@ -2,9 +2,10 @@
 
 Capability parity with the reference's kornia-bow crate: k-medians tree
 construction over 256-bit ORB descriptors (constructor.rs), BoW transform
-with tf-idf weights (bow.rs), save/load (io.rs), and ORB-SLAM3 vocabulary
-import (orb_slam3.rs — here via the public ORBvoc.txt text format; the
-.fbow binary variant is gated until a fixture exists).
+with tf-idf weights (bow.rs), save/load — both the native npz form and
+the reference's bincode binary format (io.rs; ``save_bin``/``load_bin``
+via :mod:`kornia_tpu.bow.binary_io`, so kornia-rs-saved vocabularies
+load here unchanged) — and ORB-SLAM3 ORBvoc.txt import (orb_slam3.rs).
 
 TPU design: the reference walks the tree per descriptor with
 cache-blocked SIMD (BlockCluster, lib.rs:40). Here the whole tree lives
@@ -191,6 +192,31 @@ class Vocabulary:
         return cls(k=int(z["k"]), depth=int(z["depth"]),
                    children=z["children"], node_desc=z["node_desc"],
                    word_id=z["word_id"], word_weight=z["word_weight"])
+
+    def save_bin(self, path: str) -> None:
+        """Save in the reference's binary format (kornia-bow io.rs:11).
+
+        The output loads in kornia-rs ``Vocabulary::<k, Hamming<W>>::
+        load`` (W = descriptor bytes / 8), enabling vocabulary handoff
+        between the two frameworks.
+        """
+        from kornia_tpu.bow.binary_io import encode_vocabulary
+
+        with open(path, "wb") as f:
+            f.write(encode_vocabulary(self))
+
+    @classmethod
+    def load_bin(cls, path: str, desc_words: int = 4) -> "Vocabulary":
+        """Load a kornia-rs ``Vocabulary::save`` binary (io.rs:27).
+
+        ``desc_words`` = the reference's ``Hamming<D>`` type parameter
+        (descriptor width in u64 words; 4 for 256-bit ORB) — it is a
+        compile-time type on the Rust side and not stored in the file.
+        """
+        from kornia_tpu.bow.binary_io import decode_vocabulary
+
+        with open(path, "rb") as f:
+            return decode_vocabulary(f.read(), desc_words=desc_words)
 
     # ------------------------------------------------------- orbvoc import
     @classmethod

@@ -193,3 +193,97 @@ class TestPlaceRecognitionE2E:
         res = db.query(q, top_k=2)
         assert res[0].entry_id == 2
         assert res[0].score > res[1].score + 0.05
+
+
+class TestBinaryInterop:
+    """The reference's bincode binary format (kornia-bow io.rs)."""
+
+    def test_roundtrip_transform_identical(self, vocab, train_desc,
+                                           tmp_path, rng):
+        path = str(tmp_path / "vocab.bin")
+        vocab.save_bin(path)
+        loaded = bow.Vocabulary.load_bin(path)
+        assert loaded.k == vocab.k
+        assert loaded.n_words == vocab.n_words
+        q = rng.integers(0, 256, (64, 32), np.uint8)
+        q = np.concatenate([q, train_desc[::7]])
+        w0, wt0 = vocab.transform_words(q)
+        w1, wt1 = loaded.transform_words(q)
+        # word ids are renumbered by block order; weights (idf of the
+        # landing leaf) and co-occurrence structure must be identical
+        np.testing.assert_allclose(wt0, wt1, rtol=1e-6)
+        relabel = {}
+        for a, b_ in zip(w0.tolist(), w1.tolist()):
+            assert relabel.setdefault(a, b_) == b_
+
+    def test_double_roundtrip_stable(self, vocab, tmp_path):
+        p1, p2 = str(tmp_path / "v1.bin"), str(tmp_path / "v2.bin")
+        vocab.save_bin(p1)
+        v1 = bow.Vocabulary.load_bin(p1)
+        v1.save_bin(p2)
+        with open(p1, "rb") as f1, open(p2, "rb") as f2:
+            assert f1.read() == f2.read()
+
+    def test_handcrafted_stream(self, tmp_path):
+        """Byte-level fixture built by hand from the bincode spec: a
+        B=2, Hamming<1> vocabulary — root block with two leaf words
+        (descriptors 0x00.. and 0xFF.., weights 1.5 / 3.0). Mirrors
+        the reference's build_small_tree leaf semantics
+        (orb_slam3.rs:260)."""
+        out = bytearray()
+        out += bytes([2])            # B = 2 (u64 varint, short form)
+        out += bytes([0])            # MetricType::Hamming
+        out += bytes([1])            # Vec len = 1 block
+        out += bytes([0])            # desc[0] = 0 (u64 varint)
+        out += bytes([0xFD]) + (0xFFFFFFFFFFFFFFFF).to_bytes(8, "little")
+        out += bytes([1])            # BlockContent::Leaf
+        out += np.asarray([1.5, 3.0], "<f4").tobytes()
+        out += bytes([0])            # root_idx
+        path = str(tmp_path / "hand.bin")
+        with open(path, "wb") as f:
+            f.write(bytes(out))
+        v = bow.Vocabulary.load_bin(path, desc_words=1)
+        assert v.k == 2 and v.n_words == 2
+        lo = np.zeros((1, 8), np.uint8)
+        lo[0, 0] = 0x01              # near-0x00 -> word 0, weight 1.5
+        hi = np.full((1, 8), 0xFF, np.uint8)
+        hi[0, 0] = 0xFE              # near-0xFF -> word 1, weight 3.0
+        _, wt_lo = v.transform_words(lo)
+        _, wt_hi = v.transform_words(hi)
+        assert abs(wt_lo[0] - 1.5) < 1e-6
+        assert abs(wt_hi[0] - 3.0) < 1e-6
+
+    def test_unbalanced_tree_padding(self, rng, tmp_path):
+        """Under-full blocks + a leaf at an internal layer: the padded
+        slots must round-trip away (no phantom words) and traversal
+        must stay consistent."""
+        bases = rng.integers(0, 256, (3, 32), np.uint8)
+        desc = np.repeat(bases, 30, axis=0)
+        v = bow.Vocabulary.build(desc, k=4, depth=2, seed=1)
+        path = str(tmp_path / "unbal.bin")
+        v.save_bin(path)
+        loaded = bow.Vocabulary.load_bin(path)
+        assert loaded.n_words == v.n_words
+        q = rng.integers(0, 256, (32, 32), np.uint8)
+        _, wt0 = v.transform_words(q)
+        _, wt1 = loaded.transform_words(q)
+        np.testing.assert_allclose(wt0, wt1, rtol=1e-6)
+
+    def test_l2_metric_rejected(self, tmp_path):
+        out = bytearray([2, 1, 0, 0])   # B=2, MetricType::L2, empty vec
+        path = str(tmp_path / "l2.bin")
+        with open(path, "wb") as f:
+            f.write(bytes(out))
+        with pytest.raises(ValueError, match="Hamming"):
+            bow.Vocabulary.load_bin(path)
+
+    def test_truncated_rejected(self, vocab, tmp_path):
+        path = str(tmp_path / "trunc.bin")
+        vocab.save_bin(path)
+        with open(path, "rb") as f:
+            data = f.read()
+        path2 = str(tmp_path / "trunc2.bin")
+        with open(path2, "wb") as f:
+            f.write(data[:-3])
+        with pytest.raises(ValueError):
+            bow.Vocabulary.load_bin(path2)
