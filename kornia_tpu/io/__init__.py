@@ -51,6 +51,7 @@ from kornia_tpu.io.video import (
     VideoReader,
     VideoWriter,
 )
+from kornia_tpu.io.mjpeg_avi import MjpegReader, MjpegWriter
 
 __all__ = [
     "read_image_any_rgb8",
@@ -80,6 +81,8 @@ __all__ = [
     "VideoError",
     "VideoReader",
     "VideoWriter",
+    "MjpegReader",
+    "MjpegWriter",
     "ColmapImage",
     "ColmapPoint3d",
     "read_cameras_txt",

@@ -31,27 +31,46 @@ class VideoReader:
     gstreamer/video.rs:230)."""
 
     def __init__(self, path: str):
-        _require_cv2()
+        if _cv2 is None:
+            # codec-free fallback: the built-in MJPEG/AVI demuxer
+            from kornia_tpu.io.mjpeg_avi import MjpegReader, is_mjpeg_avi
+
+            if not is_mjpeg_avi(path):
+                raise VideoError(
+                    f"cannot open video without cv2 (only MJPEG/AVI is "
+                    f"supported natively): {path}")
+            self._mjpeg = MjpegReader(path)
+            self._cap = None
+            return
+        self._mjpeg = None
         self._cap = _cv2.VideoCapture(path)
         if not self._cap.isOpened():
             raise VideoError(f"cannot open video: {path}")
 
     @property
     def fps(self) -> float:
+        if self._mjpeg is not None:
+            return self._mjpeg.fps
         return float(self._cap.get(_cv2.CAP_PROP_FPS))
 
     @property
     def size(self) -> Tuple[int, int]:
         """(h, w)"""
+        if self._mjpeg is not None:
+            return self._mjpeg.size
         return (int(self._cap.get(_cv2.CAP_PROP_FRAME_HEIGHT)),
                 int(self._cap.get(_cv2.CAP_PROP_FRAME_WIDTH)))
 
     @property
     def n_frames(self) -> int:
+        if self._mjpeg is not None:
+            return self._mjpeg.n_frames
         return int(self._cap.get(_cv2.CAP_PROP_FRAME_COUNT))
 
     def read(self) -> Optional[np.ndarray]:
         """Next frame as (H, W, 3) u8 RGB, or None at EOS."""
+        if self._mjpeg is not None:
+            return self._mjpeg.read()
         ok, frame = self._cap.read()
         if not ok:
             return None
@@ -65,9 +84,15 @@ class VideoReader:
             yield f
 
     def seek_frame(self, idx: int) -> None:
+        if self._mjpeg is not None:
+            self._mjpeg.seek_frame(idx)
+            return
         self._cap.set(_cv2.CAP_PROP_POS_FRAMES, idx)
 
     def release(self) -> None:
+        if self._mjpeg is not None:
+            self._mjpeg.release()
+            return
         self._cap.release()
 
     def __enter__(self):
@@ -82,8 +107,16 @@ class VideoWriter:
 
     def __init__(self, path: str, fps: float, size_hw: Tuple[int, int],
                  codec: str = "mp4v"):
-        _require_cv2()
         h, w = size_hw
+        if codec.lower() == "mjpg" or _cv2 is None:
+            # built-in codec-free MJPEG/AVI muxer (cv2/ffmpeg-readable)
+            from kornia_tpu.io.mjpeg_avi import MjpegWriter
+
+            self._mjpeg = MjpegWriter(path, fps, (h, w))
+            self._writer = None
+            self._size = (h, w)
+            return
+        self._mjpeg = None
         self._writer = _cv2.VideoWriter(
             path, _cv2.VideoWriter_fourcc(*codec), fps, (w, h))
         if not self._writer.isOpened():
@@ -94,9 +127,15 @@ class VideoWriter:
         if frame_rgb.shape[:2] != self._size:
             raise VideoError(
                 f"frame size {frame_rgb.shape[:2]} != {self._size}")
+        if self._mjpeg is not None:
+            self._mjpeg.write(frame_rgb)
+            return
         self._writer.write(_cv2.cvtColor(frame_rgb, _cv2.COLOR_RGB2BGR))
 
     def release(self) -> None:
+        if self._mjpeg is not None:
+            self._mjpeg.release()
+            return
         self._writer.release()
 
     def __enter__(self):

@@ -380,3 +380,136 @@ class TestNativeCapture:
             NativeCapture("v4l2:/dev/video99")
         with pytest.raises(VideoError):
             NativeCapture("dir:/nonexistent_dir_xyz")
+
+
+class TestMjpegAvi:
+    """Built-in MJPEG/AVI muxer/demuxer (io/mjpeg_avi.py) — the
+    codec-free VideoWriter/VideoReader path (reference
+    gstreamer/video.rs), cross-validated against cv2's AVI stack."""
+
+    @staticmethod
+    def _frames(n=6, h=48, w=64):
+        # smooth gradients + a moving square: JPEG-friendly content
+        yy, xx = np.mgrid[0:h, 0:w]
+        out = []
+        for i in range(n):
+            f = np.stack([
+                (xx * 255 / (w - 1)),
+                (yy * 255 / (h - 1)),
+                np.full((h, w), 40.0 + 20 * i),
+            ], axis=-1).astype(np.uint8)
+            x0 = 4 + 6 * i
+            f[10:30, x0:x0 + 12] = (220, 40, 40)
+            out.append(f)
+        return out
+
+    def test_roundtrip_own_reader(self, tmp_path):
+        from kornia_tpu.io.mjpeg_avi import MjpegReader, MjpegWriter
+
+        frames = self._frames()
+        path = str(tmp_path / "own.avi")
+        with MjpegWriter(path, fps=12.5, size_hw=(48, 64),
+                         quality=95) as w:
+            for f in frames:
+                w.write(f)
+        r = MjpegReader(path)
+        assert r.n_frames == len(frames)
+        assert abs(r.fps - 12.5) < 1e-3
+        assert r.size == (48, 64)
+        for f in frames:
+            got = r.read()
+            assert got.shape == f.shape
+            # JPEG is lossy; mean error small
+            assert np.abs(got.astype(int) - f.astype(int)).mean() < 12
+        assert r.read() is None
+
+    def test_cv2_reads_our_file(self, tmp_path):
+        import cv2
+
+        from kornia_tpu.io.mjpeg_avi import MjpegWriter
+
+        frames = self._frames()
+        path = str(tmp_path / "ours_for_cv2.avi")
+        with MjpegWriter(path, fps=30.0, size_hw=(48, 64),
+                         quality=95) as w:
+            for f in frames:
+                w.write(f)
+        cap = cv2.VideoCapture(path)
+        assert cap.isOpened(), "cv2 cannot open our AVI"
+        assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == len(frames)
+        assert abs(cap.get(cv2.CAP_PROP_FPS) - 30.0) < 0.1
+        n = 0
+        while True:
+            ok, bgr = cap.read()
+            if not ok:
+                break
+            rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+            assert np.abs(rgb.astype(int)
+                          - frames[n].astype(int)).mean() < 12
+            n += 1
+        assert n == len(frames)
+        cap.release()
+
+    def test_we_read_cv2_file(self, tmp_path):
+        import cv2
+
+        from kornia_tpu.io.mjpeg_avi import MjpegReader
+
+        frames = self._frames()
+        path = str(tmp_path / "cv2_for_us.avi")
+        vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"),
+                             25.0, (64, 48))
+        assert vw.isOpened()
+        for f in frames:
+            vw.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+        vw.release()
+        r = MjpegReader(path)
+        assert r.n_frames == len(frames)
+        assert abs(r.fps - 25.0) < 0.1
+        for f in frames:
+            got = r.read()
+            assert got is not None
+            assert np.abs(got.astype(int) - f.astype(int)).mean() < 15
+
+    def test_gray_and_seek(self, tmp_path):
+        from kornia_tpu.io.mjpeg_avi import MjpegReader, MjpegWriter
+
+        frames = [f[..., 0] for f in self._frames()]
+        path = str(tmp_path / "gray.avi")
+        with MjpegWriter(path, fps=10, size_hw=(48, 64),
+                         pixel_format="mono8") as w:
+            for f in frames:
+                w.write(f)
+        r = MjpegReader(path, pixel_format="mono8")
+        r.seek_frame(3)
+        got = r.read()
+        assert got.ndim == 2
+        assert np.abs(got.astype(int) - frames[3].astype(int)).mean() < 12
+
+    def test_videowriter_mjpg_codec_routes_native(self, tmp_path):
+        from kornia_tpu.io import VideoReader, VideoWriter
+        from kornia_tpu.io.mjpeg_avi import is_mjpeg_avi
+
+        frames = self._frames(3)
+        path = str(tmp_path / "via_api.avi")
+        with VideoWriter(path, fps=15, size_hw=(48, 64),
+                         codec="mjpg") as w:
+            for f in frames:
+                w.write(f)
+        assert is_mjpeg_avi(path)
+        with VideoReader(path) as r:
+            assert r.read() is not None
+
+    def test_bad_inputs(self, tmp_path):
+        from kornia_tpu.io.mjpeg_avi import MjpegReader, MjpegWriter
+
+        path = str(tmp_path / "bad.avi")
+        with open(path, "wb") as f:
+            f.write(b"not an avi at all")
+        with pytest.raises(ValueError, match="RIFF"):
+            MjpegReader(path)
+        w = MjpegWriter(str(tmp_path / "w.avi"), 10, (8, 8))
+        with pytest.raises(ValueError, match="shape"):
+            w.write(np.zeros((9, 8, 3), np.uint8))
+        w.release()
+        w.release()  # idempotent
