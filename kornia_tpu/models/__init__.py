@@ -15,6 +15,12 @@ from kornia_tpu.models.vlm import (
     save_params_npz,
     sample_video_frames,
 )
+from kornia_tpu.models.video import (
+    VideoMetadata,
+    VideoSample,
+    preprocess_video,
+    sample_video,
+)
 from kornia_tpu.models.gemma import GemmaConfig, GemmaLM
 from kornia_tpu.models.paligemma import (
     PaliGemma,
@@ -42,6 +48,10 @@ __all__ = [
     "load_params_npz",
     "save_params_npz",
     "sample_video_frames",
+    "VideoMetadata",
+    "VideoSample",
+    "preprocess_video",
+    "sample_video",
     "GemmaConfig",
     "GemmaLM",
     "PaliGemma",

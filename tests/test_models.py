@@ -441,3 +441,75 @@ class TestHFWeightParity:
                        eos_token_id=1)
         assert res.tokens.shape == (1, 6)
         assert int(res.n_generated[0]) <= 6
+
+
+class TestVideoSample:
+    """kornia-vlm video.rs parity: VideoSample ring + batched
+    preprocess as one jitted program."""
+
+    @staticmethod
+    def _clip(tmp_path, n=10, h=40, w=56, fps=20.0):
+        from kornia_tpu.io.mjpeg_avi import MjpegWriter
+
+        path = str(tmp_path / "clip.avi")
+        yy, xx = np.mgrid[0:h, 0:w]
+        with MjpegWriter(path, fps=fps, size_hw=(h, w)) as wtr:
+            for i in range(n):
+                f = np.stack([xx * 4, yy * 6, np.full((h, w), 10 * i)],
+                             -1).astype(np.uint8)
+                wtr.write(f)
+        return path
+
+    def test_ring_semantics(self):
+        from kornia_tpu.models import VideoSample
+
+        v = VideoSample(capacity=3)
+        for i in range(5):
+            v.add_frame(np.full((4, 4, 3), i, np.uint8), float(i))
+        assert len(v) == 3
+        # oldest dropped: frames 2, 3, 4 remain
+        assert [int(f[0, 0, 0]) for f in v.frames] == [2, 3, 4]
+        assert v.metadata.timestamps == [2.0, 3.0, 4.0]
+
+    def test_process_frames_once(self):
+        from kornia_tpu.models import VideoSample
+
+        v = VideoSample(capacity=4)
+        for i in range(3):
+            v.add_frame(np.zeros((4, 4, 3), np.uint8), float(i))
+        calls = []
+        v.process_frames(lambda f: (calls.append(1), f + 1)[1])
+        v.process_frames(lambda f: (calls.append(1), f + 1)[1])
+        assert len(calls) == 3  # second pass skips processed frames
+        assert int(v.frames[0][0, 0, 0]) == 1
+
+    def test_as_tensor_layout(self):
+        from kornia_tpu.models import VideoSample
+
+        v = VideoSample(capacity=4)
+        for i in range(2):
+            v.add_frame(
+                np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3) + i,
+                float(i))
+        t = v.as_tensor()
+        assert t.shape == (2, 3, 4, 6)
+        np.testing.assert_allclose(
+            np.asarray(t[1]), np.moveaxis(np.asarray(v.frames[1]), -1, 0))
+
+    def test_sample_video_uniform(self, tmp_path):
+        from kornia_tpu.io.mjpeg_avi import MjpegReader
+        from kornia_tpu.models import preprocess_video, sample_video
+
+        path = self._clip(tmp_path, n=10)
+        r = MjpegReader(path)
+        s = sample_video(r, n_frames=4)
+        assert len(s) == 4
+        assert s.metadata.fps == pytest.approx(20.0, abs=0.1)
+        assert s.metadata.duration == pytest.approx(0.5, abs=0.01)
+        # blue channel encodes the frame index; samples span the clip
+        blues = [int(f[0, 0, 2]) for f in s.frames]
+        assert blues[0] <= 8 and abs(blues[-1] - 90) <= 8  # JPEG lossy
+        batch = preprocess_video(s, image_size=32)
+        assert batch.shape == (4, 32, 32, 3)
+        assert np.asarray(batch).min() >= -1.001
+        assert np.asarray(batch).max() <= 1.001
