@@ -79,3 +79,8 @@ def test_two_view():
 def test_camera_capture():
     out = _run("camera_capture.py", "--frames", "3")
     assert "corners" in out and "done" in out
+
+
+def test_video_player():
+    out = _run("video_player.py", "--frames", "5")
+    assert "wrote 5 frames" in out
