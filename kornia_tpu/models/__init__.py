@@ -14,6 +14,9 @@ from kornia_tpu.models.vlm import (
     load_params_npz,
     save_params_npz,
     sample_video_frames,
+    smolvlm_256m,
+    smolvlm_500m,
+    smolvlm_2_2b,
 )
 from kornia_tpu.models.video import (
     VideoMetadata,
@@ -48,6 +51,9 @@ __all__ = [
     "load_params_npz",
     "save_params_npz",
     "sample_video_frames",
+    "smolvlm_256m",
+    "smolvlm_500m",
+    "smolvlm_2_2b",
     "VideoMetadata",
     "VideoSample",
     "preprocess_video",

@@ -46,6 +46,49 @@ class VLMConfig:
         return side * side
 
 
+def smolvlm_256m() -> VLMConfig:
+    """SmolVLM(2)-256M-Instruct architecture preset (reference
+    kornia-vlm smolvlm2 variants, lib.rs:1-8): SigLIP-base-p16/512
+    tower, SmolLM2-135M decoder, pixel-shuffle 4 (64 tokens/image)."""
+    return VLMConfig(
+        vision=ViTConfig(image_size=512, patch_size=16, hidden_size=768,
+                         intermediate_size=3072, num_layers=12,
+                         num_heads=12),
+        text=LLMConfig(vocab_size=49280, hidden_size=576,
+                       intermediate_size=1536, num_layers=30,
+                       num_heads=9, num_kv_heads=3, max_seq_len=8192),
+        pixel_shuffle_factor=4,
+        image_token_id=49190)
+
+
+def smolvlm_500m() -> VLMConfig:
+    """SmolVLM(2)-500M-Instruct preset: SigLIP-base-p16/512 tower,
+    SmolLM2-360M decoder, pixel-shuffle 4."""
+    return VLMConfig(
+        vision=ViTConfig(image_size=512, patch_size=16, hidden_size=768,
+                         intermediate_size=3072, num_layers=12,
+                         num_heads=12),
+        text=LLMConfig(vocab_size=49280, hidden_size=960,
+                       intermediate_size=2560, num_layers=32,
+                       num_heads=15, num_kv_heads=5, max_seq_len=8192),
+        pixel_shuffle_factor=4,
+        image_token_id=49190)
+
+
+def smolvlm_2_2b() -> VLMConfig:
+    """SmolVLM(2)-2.2B-Instruct preset: SigLIP-SO400M-p14/384 tower,
+    SmolLM2-1.7B decoder, pixel-shuffle 3 (81 tokens/image)."""
+    return VLMConfig(
+        vision=ViTConfig(image_size=384, patch_size=14, hidden_size=1152,
+                         intermediate_size=4304, num_layers=27,
+                         num_heads=16),
+        text=LLMConfig(vocab_size=49280, hidden_size=2048,
+                       intermediate_size=8192, num_layers=24,
+                       num_heads=32, num_kv_heads=32, max_seq_len=8192),
+        pixel_shuffle_factor=3,
+        image_token_id=49190)
+
+
 class SmolVLM(nn.Module):
     """Vision tower + connector + decoder (SmolVLM architecture)."""
 

@@ -513,3 +513,22 @@ class TestVideoSample:
         assert batch.shape == (4, 32, 32, 3)
         assert np.asarray(batch).min() >= -1.001
         assert np.asarray(batch).max() <= 1.001
+
+
+class TestPresets:
+    """Published SmolVLM(2) architecture presets: internal consistency
+    (the checkpoints themselves are not fetchable in this env)."""
+
+    def test_preset_consistency(self):
+        from kornia_tpu.models import (smolvlm_256m, smolvlm_500m,
+                                       smolvlm_2_2b)
+
+        for cfg, tok in ((smolvlm_256m(), 64), (smolvlm_500m(), 64),
+                         (smolvlm_2_2b(), 81)):
+            assert cfg.tokens_per_image == tok
+            assert cfg.text.hidden_size % cfg.text.num_heads == 0
+            assert cfg.text.num_heads % cfg.text.num_kv_heads == 0
+            assert cfg.vision.hidden_size % cfg.vision.num_heads == 0
+            side = cfg.vision.image_size // cfg.vision.patch_size
+            assert side % cfg.pixel_shuffle_factor == 0
+            assert cfg.image_token_id < cfg.text.vocab_size
