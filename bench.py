@@ -213,9 +213,27 @@ def _ops():
         rng.integers(0, 2, (1024, 256)).astype(np.uint8))
     bits_b = jnp.asarray(
         rng.integers(0, 2, (1024, 256)).astype(np.uint8))
-    add("hamming_match_1024", 
+    add("hamming_match_1024",
         lambda a, b: matching.match_descriptors(a, b),
         (bits_a, bits_b), 1e-4)
+
+    # --- pyramidal LK (windows formulation = TPU default; the gather
+    # formulation measures 2320 ms on this fixture — PERF_NOTES) ---
+    from kornia_tpu.ops import optical_flow as oflow
+
+    import scipy.ndimage as ndi
+
+    lk0 = ndi.gaussian_filter(
+        rng.standard_normal((480, 752)), 2.0).astype(np.float32) * 100
+    lk1 = np.roll(lk0, (2, 3), axis=(0, 1)).astype(np.float32)
+    lk_pts = np.stack([rng.uniform(20, 732, 1024),
+                       rng.uniform(20, 460, 1024)], 1).astype(np.float32)
+    lk_params = oflow.PyrLKParams(window=21, max_level=3)
+    add("lk_flow_1024pts_480p",
+        lambda a, b, p: oflow.calc_optical_flow_pyr_lk(
+            a, b, p, lk_params, method="windows").points,
+        (jnp.asarray(lk0), jnp.asarray(lk1), jnp.asarray(lk_pts)),
+        0.01)
 
     return out
 
@@ -232,6 +250,7 @@ _EST_HINTS = {
     "fast_detect_1080p": 0.37,
     "orb_2000kp_480x640": 1.6,
     "hamming_match_1024": 0.15,
+    "lk_flow_1024pts_480p": 28.0,
 }
 
 # ops grouped per subprocess: enough isolation that one worker crash
@@ -243,7 +262,8 @@ _GROUPS = [
      "histogram_u8_1080p"],
     ["warp_affine_exact_rot30_1080p", "warp_affine_exact_scale_1080p",
      "remap_undistort_1080p"],
-    ["fast_detect_1080p", "orb_2000kp_480x640", "hamming_match_1024"],
+    ["fast_detect_1080p", "orb_2000kp_480x640", "hamming_match_1024",
+     "lk_flow_1024pts_480p"],
 ]
 
 

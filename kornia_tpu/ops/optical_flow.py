@@ -11,10 +11,26 @@ gather + 2×2 solve per point into one program.
 Matches cv2.calcOpticalFlowPyrLK semantics: window cost is unweighted,
 status goes false when the spatial-gradient matrix is near-singular or
 the point leaves the image.
+
+Two sampling formulations share the math:
+
+* ``gather`` — per-pixel index arrays (``img[y0, x0]``). Exact, but
+  scattered gathers run at SCALAR rate on TPU (PERF_NOTES.md "gather
+  cliff"): every Newton iteration pays N·win²·4 scattered reads.
+* ``windows`` (TPU default) — each point's neighborhood is fetched
+  ONCE per level as a VMEM-resident window (the Pallas extractor used
+  by ORB), and every bilinear resample inside the Newton loop becomes
+  two small one-hot matmuls (separable interpolation: patch =
+  R(fy) @ window @ C(fx)ᵀ) — zero gathers after extraction. The
+  Newton loop is a ``while_loop`` so the batch stops at the slowest
+  point's convergence instead of always paying max_iters.
+
+Select with ``KORNIA_TPU_LK=gather|windows`` or the ``method=`` kwarg.
 """
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import partial
 from typing import NamedTuple, Tuple
@@ -124,6 +140,144 @@ def _track_level(prev: jax.Array, nxt: jax.Array, gx: jax.Array,
     return d, ok & inside, err
 
 
+# ---------------------------------------------------------------------
+# windows formulation: per-point windows + separable one-hot matmul
+# resampling (no gathers inside the Newton loop)
+_LKW_H = 48       # window rows (extractor contract)
+_LKW_W = 64       # window cols kept after extraction (of the 128 fetched)
+_LKW_CY = 24      # window-space row of the point center
+_LKW_CX = 32      # window-space col of the point center
+
+
+def _extract_lk_windows(img: jax.Array, centers: jax.Array) -> jax.Array:
+    """(N, 48, 64) edge-replicated windows at integer ``centers`` (xy).
+
+    TPU: ops.pallas_kernels.extract_windows_pallas (frame VMEM-resident,
+    one slice per window); elsewhere vmapped dynamic_slice.
+    """
+    if jax.default_backend() == "tpu":
+        from kornia_tpu.ops.pallas_kernels import extract_windows_pallas
+
+        w128 = extract_windows_pallas(img, centers, _LKW_H, 128,
+                                      _LKW_CY, 64)
+        return w128[:, :, 64 - _LKW_CX: 64 + (_LKW_W - _LKW_CX)]
+    pad = jnp.pad(img, ((_LKW_CY, _LKW_H - _LKW_CY),
+                        (_LKW_CX, _LKW_W - _LKW_CX)), mode="edge")
+
+    def one(c):
+        return jax.lax.dynamic_slice(pad, (c[1], c[0]), (_LKW_H, _LKW_W))
+
+    return jax.vmap(one)(centers)
+
+
+def _sep_weights(base: jax.Array, n: int, size: int) -> jax.Array:
+    """(n, size) separable bilinear one-hot rows: row i holds (1-f) at
+    floor(base+i) and f at floor(base+i)+1, clamped to the window."""
+    t = base + jnp.arange(n, dtype=jnp.float32)
+    t = jnp.clip(t, 0.0, size - 1.001)
+    t0 = jnp.floor(t)
+    f = t - t0
+    idx = jnp.arange(size, dtype=jnp.float32)
+    lo = (idx[None, :] == t0[:, None]).astype(jnp.float32)
+    hi = (idx[None, :] == (t0 + 1.0)[:, None]).astype(jnp.float32)
+    return lo * (1.0 - f)[:, None] + hi * f[:, None]
+
+
+def _sample_window_patch(win2d: jax.Array, off_xy: jax.Array,
+                         n: int) -> jax.Array:
+    """(n, n) bilinear patch from one (H, W) window, centered at the
+    window center + subpixel ``off_xy`` — two small matmuls, no
+    gathers."""
+    half = (n - 1) / 2.0
+    ry = _sep_weights(off_xy[1] + (_LKW_CY - half), n, win2d.shape[0])
+    cx = _sep_weights(off_xy[0] + (_LKW_CX - half), n, win2d.shape[1])
+    return ry @ win2d @ cx.T
+
+
+def _track_level_win(prevw: jax.Array, nxtw: jax.Array, gxw: jax.Array,
+                     gyw: jax.Array, sub_prev: jax.Array,
+                     off_nxt: jax.Array, params: PyrLKParams):
+    """One point, one level, windows formulation.
+
+    ``sub_prev`` = pt - round(pt) (subpixel of the template center in
+    its window); ``off_nxt`` = pt + guess - round(pt + guess). Returns
+    (flow, ok, err) with flow relative to the initial guess.
+    """
+    win = params.window
+    ip = _sample_window_patch(prevw, sub_prev, win)
+    ix = _sample_window_patch(gxw, sub_prev, win)
+    iy = _sample_window_patch(gyw, sub_prev, win)
+
+    a11 = jnp.sum(ix * ix)
+    a12 = jnp.sum(ix * iy)
+    a22 = jnp.sum(iy * iy)
+    det = a11 * a22 - a12 * a12
+    tr = a11 + a22
+    min_eig = (tr - jnp.sqrt(jnp.maximum(tr * tr - 4 * det, 0.0))) / 2.0
+    ok = min_eig / (win * win) > params.min_eig_threshold
+    inv_det = jnp.where(det > 1e-12, 1.0 / det, 0.0)
+
+    def cond(carry):
+        _, done, it = carry
+        return (~done) & (it < params.max_iters)
+
+    def body(carry):
+        d, done, it = carry
+        jp = _sample_window_patch(nxtw, off_nxt + d, win)
+        diff = ip - jp
+        b1 = jnp.sum(diff * ix)
+        b2 = jnp.sum(diff * iy)
+        du = (a22 * b1 - a12 * b2) * inv_det
+        dv = (a11 * b2 - a12 * b1) * inv_det
+        step = jnp.stack([du, dv])
+        d = d + step
+        done = jnp.sum(step * step) < params.eps * params.eps
+        return d, done, it + 1
+
+    d0 = jnp.zeros(2, jnp.float32)
+    d, _, _ = jax.lax.while_loop(
+        cond, body, (d0, jnp.logical_not(ok), jnp.int32(0)))
+    jp = _sample_window_patch(nxtw, off_nxt + d, win)
+    err = jnp.mean(jnp.abs(ip - jp))
+    return d, ok, err
+
+
+def _track_level_batch_win(prev: jax.Array, nxt: jax.Array,
+                           gx: jax.Array, gy: jax.Array,
+                           pts: jax.Array, guess: jax.Array,
+                           params: PyrLKParams):
+    """All points, one level: 4 window fetches + the vmapped
+    window-resident Newton loop."""
+    h, w = prev.shape
+    cen_prev = jnp.round(pts).astype(jnp.int32)
+    tgt = pts + guess
+    cen_nxt = jnp.round(tgt).astype(jnp.int32)
+    # extractor expects in-image centers; clamp (content is
+    # edge-replicated, matching the gather path's coordinate clamp)
+    cen_prev = jnp.clip(cen_prev, 0, jnp.asarray([w - 1, h - 1]))
+    cen_nxt = jnp.clip(cen_nxt, 0, jnp.asarray([w - 1, h - 1]))
+    prevw = _extract_lk_windows(prev, cen_prev)
+    gxw = _extract_lk_windows(gx, cen_prev)
+    gyw = _extract_lk_windows(gy, cen_prev)
+    nxtw = _extract_lk_windows(nxt, cen_nxt)
+    sub_prev = pts - cen_prev.astype(jnp.float32)
+    off_nxt = tgt - cen_nxt.astype(jnp.float32)
+    d, ok, err = jax.vmap(_track_level_win,
+                          in_axes=(0, 0, 0, 0, 0, 0, None))(
+        prevw, nxtw, gxw, gyw, sub_prev, off_nxt, params)
+    end = tgt + d
+    inside = ((end[:, 0] >= 0) & (end[:, 0] <= w - 1)
+              & (end[:, 1] >= 0) & (end[:, 1] <= h - 1))
+    return d, ok & inside, err
+
+
+def _default_method() -> str:
+    env = os.environ.get("KORNIA_TPU_LK", "")
+    if env in ("gather", "windows"):
+        return env
+    return "windows" if jax.default_backend() == "tpu" else "gather"
+
+
 class LKPrecomputed(NamedTuple):
     """Reusable per-frame pyramids + gradients.
 
@@ -165,9 +319,11 @@ def build_lk_precomputed(
 
 def calc_optical_flow_pyr_lk_with_precomputed(
     pre: LKPrecomputed, points: jax.Array,
-    params: PyrLKParams = PyrLKParams(),
+    params: PyrLKParams = PyrLKParams(), method: str = "auto",
 ) -> FlowResult:
     """Track (N, 2) xy points using a prebuilt pyramid stack."""
+    if method == "auto":
+        method = _default_method()
     n_levels = len(pre.prev_levels)
     points = points.astype(jnp.float32)
     status = jnp.ones(points.shape[0], bool)
@@ -178,10 +334,16 @@ def calc_optical_flow_pyr_lk_with_precomputed(
     for lvl in range(n_levels - 1, -1, -1):
         scale = 2.0 ** lvl
         pts_lvl = points / scale
-        d, ok, err = track(
-            pre.prev_levels[lvl], pre.next_levels[lvl],
-            pre.gx_levels[lvl], pre.gy_levels[lvl],
-            pts_lvl, flow, params)
+        if method == "windows":
+            d, ok, err = _track_level_batch_win(
+                pre.prev_levels[lvl], pre.next_levels[lvl],
+                pre.gx_levels[lvl], pre.gy_levels[lvl],
+                pts_lvl, flow, params)
+        else:
+            d, ok, err = track(
+                pre.prev_levels[lvl], pre.next_levels[lvl],
+                pre.gx_levels[lvl], pre.gy_levels[lvl],
+                pts_lvl, flow, params)
         flow = flow + d
         status = status & ok
         if lvl > 0:
@@ -189,14 +351,17 @@ def calc_optical_flow_pyr_lk_with_precomputed(
     return FlowResult(points=points + flow, status=status, errors=err)
 
 
-@partial(jax.jit, static_argnames=("params",))
+@partial(jax.jit, static_argnames=("params", "method"))
 def calc_optical_flow_pyr_lk(
     prev_gray: jax.Array, next_gray: jax.Array, points: jax.Array,
-    params: PyrLKParams = PyrLKParams(),
+    params: PyrLKParams = PyrLKParams(), method: str = "auto",
 ) -> FlowResult:
     """Pyramidal LK: track `points` from prev_gray to next_gray.
 
     Reference: calc_optical_flow_pyr_lk, optical_flow_pyr_lk.rs:1311.
+    ``method``: "windows" (TPU default — window-resident matmul
+    resampling), "gather" (CPU default), or "auto".
     """
     pre = build_lk_precomputed(prev_gray, next_gray, params)
-    return calc_optical_flow_pyr_lk_with_precomputed(pre, points, params)
+    return calc_optical_flow_pyr_lk_with_precomputed(pre, points, params,
+                                                     method)

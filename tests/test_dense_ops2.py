@@ -321,3 +321,38 @@ class TestHistogram:
             minlength=64)
         np.testing.assert_array_equal(got, ref)
         assert got.sum() == x.size
+
+
+class TestLKWindowsFormulation:
+    """The windows (matmul-resampling) LK path must match the gather
+    formulation — same math, zero gathers in the Newton loop."""
+
+    def test_matches_gather(self, rng):
+        base = rng.standard_normal((15, 20))
+        img0 = cv2.resize(base, (160, 120),
+                          interpolation=cv2.INTER_CUBIC).astype(np.float32)
+        img0 = (img0 - img0.min()) / (img0.max() - img0.min()) * 255
+        m = cv2.getRotationMatrix2D((80, 60), 2.0, 1.0)
+        m[0, 2] += 2.5
+        m[1, 2] -= 1.5
+        img1 = cv2.warpAffine(img0, m, (160, 120))
+        pts = cv2.goodFeaturesToTrack(
+            img0.astype(np.uint8), 40, 0.05, 10).reshape(-1, 2)
+        keep = ((pts[:, 0] > 15) & (pts[:, 0] < 142)
+                & (pts[:, 1] > 15) & (pts[:, 1] < 102))
+        pts = pts[keep]
+        params = oflow.PyrLKParams(window=21, max_level=2)
+        rg = oflow.calc_optical_flow_pyr_lk(
+            jnp.asarray(img0), jnp.asarray(img1), jnp.asarray(pts),
+            params, method="gather")
+        rw = oflow.calc_optical_flow_pyr_lk(
+            jnp.asarray(img0), jnp.asarray(img1), jnp.asarray(pts),
+            params, method="windows")
+        sg, sw = np.asarray(rg.status), np.asarray(rw.status)
+        assert sw.sum() >= sg.sum() - 1
+        both = sg & sw
+        assert both.sum() >= 10
+        d = np.linalg.norm(np.asarray(rg.points)[both]
+                           - np.asarray(rw.points)[both], axis=1)
+        assert np.median(d) < 1e-3
+        assert d.max() < 0.05
