@@ -157,40 +157,44 @@ def test_warp_perspective_exact(img_u8):
 
 
 @pytest.mark.slow
-def test_warp_affine_banded_path(img_u8, monkeypatch):
-    """Regression: the banded executor (source too tall for VMEM) must
-    match the single-call path. Round 2 found the kernel comparing the
-    map's GLOBAL source rows against BAND-RELATIVE row bases — every
-    band with band0 > 0 resolved rows offset by band0, corrupting all
-    warps big enough to band (>= ~1024px rotations) while the
-    small-image suite stayed green. Forcing tiny bands makes the
-    123x310 fixture exercise band0 > 0."""
+def test_warp_affine_staged_rows(monkeypatch):
+    """Regression: destination row-blocks whose source staging base is
+    far from 0 must resolve GLOBAL source rows correctly (round 2's
+    banded-executor bug class: band/staging-relative row bases offset
+    by the window start corrupted every tall warp while the
+    small-image suite stayed green). The in-kernel DMA staging window
+    is shrunk to 64 rows so the 173x410 fixture produces many
+    row-blocks with staging bases > 0."""
     import kornia_tpu.ops.warp_pallas as wp
-    h, w = img_u8.shape
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (173, 410), np.uint8)
+    h, w = img.shape
     m = np.asarray(get_rotation_matrix2d((w / 2, h / 2), 30.0, 1.0))
     from kornia_tpu.ops.warp import warp_affine
-    ref = np.asarray(warp_affine(jnp.asarray(img_u8), jnp.asarray(m),
+    ref = np.asarray(warp_affine(jnp.asarray(img), jnp.asarray(m),
                                  (h, w), method="gather")).astype(int)
-    monkeypatch.setattr(wp, "_SRC_VMEM_LIMIT", 1)
-    monkeypatch.setattr(wp, "_BAND_DH", 32)
-    monkeypatch.setattr(wp, "_HB_MAX", 128)
+    monkeypatch.setattr(wp, "_HBB", 64)
     out = np.asarray(warp_affine_exact(
-        jnp.asarray(img_u8), jnp.asarray(m), (h, w),
+        jnp.asarray(img), jnp.asarray(m), (h, w),
         fallback=False)).astype(int)
     assert np.abs(out - ref).max() <= 1
 
 
 @pytest.mark.slow
-def test_remap_banded_path(img_u8, smooth_maps, monkeypatch):
-    """Same regression for the no-shear remap flavor of the banded
-    executor (tall undistortion maps band too)."""
+def test_remap_staged_rows(monkeypatch):
+    """Same regression for the no-shear remap flavor (tall
+    undistortion maps stage too)."""
     import kornia_tpu.ops.warp_pallas as wp
-    mx, my = smooth_maps
-    ref = _gather_ref(img_u8, mx, my)
-    monkeypatch.setattr(wp, "_SRC_VMEM_LIMIT", 1)
-    monkeypatch.setattr(wp, "_BAND_DH", 32)
-    monkeypatch.setattr(wp, "_HB_MAX", 64)
-    out = np.asarray(remap_exact(jnp.asarray(img_u8), jnp.asarray(mx),
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, (171, 420), np.uint8)
+    h, w = img.shape
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    r2 = ((xx - w / 2) / w) ** 2 + ((yy - h / 2) / h) ** 2
+    mx = (xx + 40.0 * r2 * (xx - w / 2) / w).astype(np.float32)
+    my = (yy + 40.0 * r2 * (yy - h / 2) / h).astype(np.float32)
+    ref = _gather_ref(img, mx, my)
+    monkeypatch.setattr(wp, "_HBB", 64)
+    out = np.asarray(remap_exact(jnp.asarray(img), jnp.asarray(mx),
                                  jnp.asarray(my), fallback=False))
     np.testing.assert_array_equal(out, ref)
 
