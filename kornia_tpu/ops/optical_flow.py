@@ -144,7 +144,12 @@ def _track_level(prev: jax.Array, nxt: jax.Array, gx: jax.Array,
 # windows formulation: per-point windows + separable one-hot matmul
 # resampling (no gathers inside the Newton loop)
 _LKW_H = 48       # window rows (extractor contract)
-_LKW_W = 64       # window cols kept after extraction (of the 128 fetched)
+_LKW_W = 64       # window cols kept after extraction (of the 128
+#                   fetched) — ±21 px lane drift margin. A 48-col slab
+#                   (25% fewer matmul flops) measured IDENTICAL
+#                   (27.43 vs 27.38 ms): the per-iteration cost is MXU
+#                   tile-padding-bound (21x48 tiles pad to 128x128
+#                   regardless), so keep the wider margin for free.
 _LKW_CY = 24      # window-space row of the point center
 _LKW_CX = 32      # window-space col of the point center
 
