@@ -254,6 +254,58 @@ class Image:
         """Import a torch tensor via DLPack."""
         return cls.from_dlpack(tensor, color_space=color_space)
 
+    # Arrow interop (reference kornia-image/src/arrow.rs IntoArrow/
+    # TryFromArrow: a StructArray {width,height,channels: u32[1],
+    # data: binary[1]} — the same wire schema, so arrays round-trip
+    # between the two frameworks)
+    def to_arrow(self):
+        """Export as an Arrow StructArray (arrow.rs:40 ``into_arrow``).
+
+        u8 HWC only, like the reference impl. The pixel buffer is
+        wrapped zero-copy (``pa.py_buffer`` over the host array).
+        """
+        import pyarrow as pa
+
+        if self.layout is not ImageLayout.HWC:
+            raise ValueError("to_arrow requires HWC layout")
+        host = self.numpy()
+        if host.dtype != np.uint8 or host.ndim != 3:
+            raise ValueError(
+                "to_arrow supports (H, W, C) u8 images (reference "
+                "arrow.rs implements Image<u8, C> only)")
+        h, w, c = host.shape
+        host = np.ascontiguousarray(host)
+        nbytes = host.size
+        offsets = np.asarray([0, nbytes], np.int32)
+        data_arr = pa.Array.from_buffers(
+            pa.binary(), 1,
+            [None, pa.py_buffer(offsets), pa.py_buffer(host)])
+        return pa.StructArray.from_arrays(
+            [pa.array([w], pa.uint32()), pa.array([h], pa.uint32()),
+             pa.array([c], pa.uint32()), data_arr],
+            names=["width", "height", "channels", "data"])
+
+    @classmethod
+    def from_arrow(cls, array, color_space=None) -> "Image":
+        """Import the reference's Arrow image encoding
+        (arrow.rs:67 ``try_from_arrow``)."""
+        import pyarrow as pa
+
+        if isinstance(array, pa.ChunkedArray):
+            array = array.combine_chunks()
+        if not pa.types.is_struct(array.type):
+            raise ValueError("expected a StructArray image encoding")
+        w = array.field("width")[0].as_py()
+        h = array.field("height")[0].as_py()
+        c = array.field("channels")[0].as_py()
+        data = array.field("data")[0].as_py()
+        buf = np.frombuffer(data, np.uint8)
+        if buf.size != h * w * c:
+            raise ValueError(
+                f"data length {buf.size} != {h}x{w}x{c}")
+        return cls.from_numpy(buf.reshape(h, w, c),
+                              color_space=color_space or ColorSpace.UNKNOWN)
+
 
 def as_array(img) -> jax.Array:
     """Accept either an Image or a bare array; return the array."""

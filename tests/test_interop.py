@@ -55,3 +55,42 @@ class TestTorch:
         t_out = Image(data=gray, color_space=ColorSpace.GRAY).to_torch()
         ref = color.rgb_to_gray(jnp.asarray(arr))
         np.testing.assert_array_equal(t_out.numpy(), np.asarray(ref))
+
+
+class TestArrowInterop:
+    """Reference arrow.rs wire schema: StructArray
+    {width, height, channels: u32[1], data: binary[1]}."""
+
+    def test_roundtrip(self):
+        import pyarrow as pa
+
+        from kornia_tpu.image import ColorSpace, Image
+
+        rng = np.random.default_rng(0)
+        host = rng.integers(0, 256, (33, 47, 3), np.uint8)
+        img = Image.from_numpy(host, color_space=ColorSpace.RGB)
+        arr = img.to_arrow()
+        assert arr.type.num_fields == 4
+        assert [arr.type.field(i).name for i in range(4)] == [
+            "width", "height", "channels", "data"]
+        back = Image.from_arrow(arr)
+        np.testing.assert_array_equal(back.numpy(), host)
+
+    def test_zero_copy_export(self):
+        from kornia_tpu.image import Image
+
+        host = np.zeros((8, 8, 3), np.uint8)
+        arr = Image.from_numpy(host).to_arrow()
+        data_buf = arr.field("data").buffers()[2]
+        assert data_buf.size == 8 * 8 * 3  # pixel buffer wrapped whole
+
+    def test_bad_inputs(self):
+        import pyarrow as pa
+
+        from kornia_tpu.image import Image
+        import jax.numpy as jnp
+
+        with pytest.raises(ValueError, match="u8"):
+            Image(jnp.zeros((4, 4, 3), jnp.float32)).to_arrow()
+        with pytest.raises(ValueError, match="Struct"):
+            Image.from_arrow(pa.array([1, 2, 3]))
