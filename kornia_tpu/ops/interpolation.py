@@ -135,16 +135,22 @@ def remap(
     (reference interpolation/remap.rs, calibration/distortion.rs:135).
     Preserves input dtype (u8 rounds + clamps).
 
-    Bilinear/nearest with zeros/border padding ride the exact Pallas
-    chunk kernel (ops.warp_pallas.remap_exact, ~0.4 ms at 1080p vs
-    ~60 ms for the scalar-gather path); other modes and maps outside
-    the kernel's window capacity use the gather formulation. ``nsel``
-    sizes the kernel's per-chunk row-candidate budget: smooth maps
-    (undistortion, rectification: row spread <= nsel-2 per (8,128)
-    chunk) can pass 4 for a ~1.5x faster kernel; maps that exceed it
-    fall back to the exact-but-slow gather path automatically.
+    On TPU, bilinear/nearest with zeros/border padding ride the exact
+    Pallas chunk kernel (ops.warp_pallas.remap_exact, ~0.4 ms at 1080p
+    vs ~60 ms for the scalar-gather path); other modes and maps
+    outside the kernel's window capacity use the gather formulation,
+    as does the CPU backend (where XLA gathers are fast and
+    interpret-mode kernels are not; KORNIA_TPU_WARP=pallas forces the
+    kernel). ``nsel`` sizes the kernel's per-chunk row-candidate
+    budget: smooth maps (undistortion, rectification: row spread <=
+    nsel-2 per (8,128) chunk) can pass 4 for a ~1.5x faster kernel;
+    maps that exceed it fall back to the exact-but-slow gather path
+    automatically.
     """
-    if (mode in ("bilinear", "nearest")
+    from kornia_tpu.ops.warp import _auto_method
+
+    if (_auto_method() == "pallas"
+            and mode in ("bilinear", "nearest")
             and padding_mode in ("zeros", "border")):
         from kornia_tpu.ops.warp_pallas import remap_exact
 

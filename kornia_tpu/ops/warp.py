@@ -48,6 +48,21 @@ def _finalize(out: jax.Array, dtype) -> jax.Array:
     return out.astype(dtype)
 
 
+def _auto_method() -> str:
+    """Per-backend default: the Pallas kernel on TPU, the (equally
+    exact, compiled-fast) gather formulation on CPU — interpret-mode
+    kernel execution on CPU costs ~0.5 s/Mpx, which poisons CPU test
+    suites and --cpu example runs. KORNIA_TPU_WARP overrides."""
+    import os
+
+    env = os.environ.get("KORNIA_TPU_WARP", "")
+    if env in ("pallas", "gather", "shear"):
+        return env
+    import jax as _jax
+
+    return "pallas" if _jax.default_backend() == "tpu" else "gather"
+
+
 def warp_affine(
     img: jax.Array,
     m: jax.Array,
@@ -55,21 +70,25 @@ def warp_affine(
     mode: str = "bilinear",
     padding_mode: str = "zeros",
     fill_value: float = 0.0,
-    method: str = "pallas",
+    method: str = "auto",
 ) -> jax.Array:
     """Warp (H, W, C) or (H, W) by the 2×3 matrix ``m`` into (new_h, new_w).
 
     ``m`` maps src→dst like cv2.warpAffine.
 
-    method "pallas" (default) is the exact single-pass bilinear warp as
-    a vector-rate Pallas chunk kernel (ops.warp_pallas): ~1 ms at 1080p
-    with a scalar-gather fallback for maps outside the static window
-    capacity. method "gather" is the same math as one XLA gather —
-    exact but scalar-rate on TPU (~60 ms at 1080p). method "shear"
-    routes through ops.warp_shear (SVD → shear passes + band matmuls):
-    multi-pass interpolation, ≈3% max deviation, bilinear/zeros only —
-    kept for A/B comparison.
+    method "auto" (default) picks per backend: "pallas" on TPU — the
+    exact single-pass bilinear warp as a vector-rate Pallas chunk
+    kernel (ops.warp_pallas, ~1 ms at 1080p, scalar-gather fallback
+    for maps outside the static window capacity) — and "gather" on
+    CPU, where XLA gathers are fast and the interpret-mode kernel is
+    not (both are exact; results agree to <=1 u8 rounding tie).
+    method "gather" on TPU is scalar-rate (~60 ms at 1080p). method
+    "shear" routes through ops.warp_shear (SVD → shear passes + band
+    matmuls): multi-pass interpolation, ≈3% max deviation,
+    bilinear/zeros only — kept for A/B comparison.
     """
+    if method == "auto":
+        method = _auto_method()
     if method == "pallas" and mode in ("bilinear", "nearest"):
         from kornia_tpu.ops.warp_pallas import warp_affine_exact
 
@@ -99,14 +118,16 @@ def warp_perspective(
     mode: str = "bilinear",
     padding_mode: str = "zeros",
     fill_value: float = 0.0,
-    method: str = "pallas",
+    method: str = "auto",
 ) -> jax.Array:
     """Warp by a 3×3 homography (cv2.warpPerspective semantics).
 
-    method "pallas" (default) rides the exact vector-rate chunk kernel
-    (ops.warp_pallas) with a gather fallback for extreme horizons;
-    "gather" forces the scalar-rate XLA gather path.
+    method "auto" (default) = "pallas" on TPU (exact vector-rate chunk
+    kernel, gather fallback for extreme horizons), "gather" on CPU
+    (see warp_affine); "pallas"/"gather" force a path.
     """
+    if method == "auto":
+        method = _auto_method()
     if method == "pallas" and mode in ("bilinear", "nearest"):
         from kornia_tpu.ops.warp_pallas import warp_perspective_exact
 

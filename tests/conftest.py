@@ -36,10 +36,11 @@ _RNG_SEED = 1234  # seed-pinned fixtures like the reference's conftest.py:7-12
 
 # Modules whose tests dominate suite wall time (subprocess example CLIs,
 # full SLAM pipeline runs, 8-device SPMD compiles). They are auto-marked
-# ``slow`` so the fast gate (``pytest -m "not slow"``, <3 min) actually
-# gets run — a perf gate nobody waits for stops being run. The reference
-# keeps its gate fast the same way (seed-pinned fixture, conftest.py:7-12
-# of kornia-py "so the perf gate doesn't flap").
+# ``slow`` so the fast gate (``pytest -m "not slow"``; ~15 min solo on
+# the 1-core CI box, minutes on a workstation) actually gets run — a
+# perf gate nobody waits for stops being run. The reference keeps its
+# gate fast the same way (seed-pinned fixture, conftest.py:7-12 of
+# kornia-py "so the perf gate doesn't flap").
 _SLOW_MODULES = {
     "test_examples",
     "test_slam",

@@ -38,8 +38,12 @@ def _gather_ref(img, mx, my, mode="bilinear", padding_mode="zeros"):
 
 @pytest.fixture(scope="module")
 def img_u8():
+    # non-tile-aligned odd sizes exercise edge masking; kept small —
+    # interpret-mode kernel execution costs ~0.5 ms/dest-px-equivalent
+    # on the 1-core CI box, and this fixture is executed ~20x across
+    # the module (the 123x310 original made each case ~45 s)
     return np.random.default_rng(7).integers(
-        0, 256, (123, 310), np.uint8)
+        0, 256, (75, 170), np.uint8)
 
 
 @pytest.fixture(scope="module")
@@ -62,6 +66,7 @@ def test_remap_exact_bilinear(img_u8, smooth_maps):
         np.testing.assert_array_equal(out, ref)
 
 
+@pytest.mark.slow
 def test_remap_exact_oob_and_nearest(img_u8):
     h, w = img_u8.shape
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
@@ -75,6 +80,7 @@ def test_remap_exact_oob_and_nearest(img_u8):
         out, _gather_ref(img_u8, mx, my, mode="nearest"))
 
 
+@pytest.mark.slow
 def test_remap_exact_f32_multichannel(smooth_maps):
     mx, my = smooth_maps
     imgf = np.random.default_rng(3).random(
@@ -97,7 +103,20 @@ def test_remap_fallback_on_torn_map(img_u8):
     np.testing.assert_array_equal(out, _gather_ref(img_u8, mx, my))
 
 
-@pytest.mark.parametrize("angle", [0, 5, 30, 45, 90, 135, 270, 333])
+# interpret-mode kernel execution costs ~45 s per case on the 1-core
+# CI box regardless of fixture size (trace+interpret overhead), so the
+# fast tier keeps one flagship case per kernel flavor; the sweep runs
+# in the slow tier.
+@pytest.mark.parametrize("angle", [
+    30,               # fast tier flagship: pre-shear + staging path
+    pytest.param(0, marks=pytest.mark.slow),
+    pytest.param(5, marks=pytest.mark.slow),
+    pytest.param(45, marks=pytest.mark.slow),
+    pytest.param(90, marks=pytest.mark.slow),
+    pytest.param(135, marks=pytest.mark.slow),
+    pytest.param(270, marks=pytest.mark.slow),
+    pytest.param(333, marks=pytest.mark.slow),
+])
 def test_warp_affine_exact_rotations(img_u8, angle):
     h, w = img_u8.shape
     m = np.asarray(get_rotation_matrix2d((w / 2, h / 2), float(angle),
@@ -114,10 +133,14 @@ def test_warp_affine_exact_rotations(img_u8, angle):
 
 
 @pytest.mark.parametrize("m,name", [
-    (np.asarray([[0.5, 0, 10], [0, 0.5, 5]], np.float32), "scale0.5"),
-    (np.asarray([[2.0, 0, -10], [0, 2.0, -5]], np.float32), "scale2"),
     (np.asarray([[1.0, 0.3, 0], [0.1, 1.0, 0]], np.float32), "shear"),
-    (np.asarray([[1.0, 0, 20.5], [0, 1.0, -7.3]], np.float32), "trans"),
+    pytest.param(np.asarray([[2.0, 0, -10], [0, 2.0, -5]], np.float32),
+                 "scale2", marks=pytest.mark.slow),
+    pytest.param(np.asarray([[0.5, 0, 10], [0, 0.5, 5]], np.float32),
+                 "scale0.5", marks=pytest.mark.slow),
+    pytest.param(np.asarray([[1.0, 0, 20.5], [0, 1.0, -7.3]],
+                            np.float32), "trans",
+                 marks=pytest.mark.slow),
 ])
 def test_warp_affine_exact_general(img_u8, m, name):
     h, w = img_u8.shape
@@ -199,8 +222,11 @@ def test_remap_staged_rows(monkeypatch):
     np.testing.assert_array_equal(out, ref)
 
 
-def test_undistort_rides_pallas(img_u8):
-    """undistort_image routes through remap -> remap_exact now."""
+@pytest.mark.slow
+def test_undistort_rides_pallas(img_u8, monkeypatch):
+    """undistort_image routes through remap -> remap_exact (the TPU
+    default; forced here since the CPU default is the gather path)."""
+    monkeypatch.setenv("KORNIA_TPU_WARP", "pallas")
     from kornia_tpu.geometry.camera import undistort_image
     h, w = img_u8.shape
     k = jnp.asarray([[300.0, 0, w / 2], [0, 300.0, h / 2], [0, 0, 1]],
