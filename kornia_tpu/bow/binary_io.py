@@ -41,6 +41,7 @@ vice versa). The block semantics mirrored from the reference
 from __future__ import annotations
 
 import struct
+from collections import deque
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -211,10 +212,10 @@ def decode_vocabulary(data: bytes, desc_words: int = 4):
             n -= 1
         return n
 
-    queue: List[Tuple[int, int]] = [(root_idx, 0)]  # (block idx, owner node)
+    queue = deque([(root_idx, 0)])  # (block idx, owner node)
     seen = {root_idx}
     while queue:
-        bi, owner = queue.pop(0)
+        bi, owner = queue.popleft()
         block = blocks[bi]
         for i in range(_real_slots(block)):
             nid = len(children_lists)
@@ -283,10 +284,10 @@ def encode_vocabulary(vocab) -> bytes:
     terminator = _Block(np.tile(pad, (b, 1)), weights=np.zeros(b, "<f4"))
 
     blocks: List[object] = [_TERMINATOR]
-    queue: List[Tuple[List[int], int]] = [(kids(0), 0)]
+    queue = deque([(kids(0), 0)])
     next_free = 1
     while queue:
-        child_ids, block_idx = queue.pop(0)
+        child_ids, block_idx = queue.popleft()
         nc = len(child_ids)
         if nc == 0 or nc > b:
             raise ValueError("node with %d children cannot be blocked" % nc)

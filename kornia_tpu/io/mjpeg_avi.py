@@ -160,6 +160,8 @@ class MjpegWriter:
         if frame.shape != expect:
             raise ValueError(
                 f"frame shape {frame.shape} != expected {expect}")
+        if self._f is None:
+            raise ValueError("writer is closed (release() was called)")
         data = _jpeg_encode(frame.astype(np.uint8), self._quality)
         f = self._f
         off = f.tell() - self._movi_start
@@ -215,21 +217,34 @@ class MjpegReader:
 
     def __init__(self, path: str, pixel_format: str = "rgb8"):
         self._gray = pixel_format == "mono8"
-        with open(path, "rb") as f:
-            data = f.read()
-        if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
-            raise ValueError(f"not a RIFF/AVI file: {path}")
-        self._fps = 0.0
-        self._size = (0, 0)
-        self._n_declared = 0
-        self._offsets: List[Tuple[int, int]] = []  # (abs offset, size)
-        self._parse(data)
-        self._data = data
+        self._f = open(path, "rb")
+        try:
+            data = self._f.read()
+            if (len(data) < 12 or data[:4] != b"RIFF"
+                    or data[8:12] != b"AVI "):
+                raise ValueError(f"not a RIFF/AVI file: {path}")
+            self._fps = 0.0
+            self._size = (0, 0)
+            self._n_declared = 0
+            self._offsets: List[Tuple[int, int]] = []  # (abs off, size)
+            self._parse(data)
+        except Exception:
+            self._f.close()
+            raise
+        # the parse buffer is NOT retained: frames are read on demand
+        # through the file handle (a long clip would otherwise pin its
+        # whole compressed size in host RAM for the reader's lifetime)
+        del data
         self._pos = 0
 
     def _parse(self, data: bytes) -> None:
         movi_start = None
         idx1 = None
+
+        def need(start: int, n: int, what: str) -> bytes:
+            if start + n > len(data):
+                raise ValueError(f"corrupted AVI: truncated {what}")
+            return data[start:start + n]
 
         def walk(start: int, end: int) -> None:
             nonlocal movi_start, idx1
@@ -239,46 +254,57 @@ class MjpegReader:
                 (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
                 body = pos + 8
                 if ckid in (b"RIFF", b"LIST"):
-                    fourcc = data[body:body + 4]
+                    fourcc = need(body, 4, "LIST fourcc")
                     if fourcc == b"movi":
                         movi_start = body
                     walk(body + 4, min(body + size, end))
                 elif ckid == b"avih":
-                    vals = struct.unpack("<14I", data[body:body + 56])
+                    vals = struct.unpack("<14I", need(body, 56, "avih"))
                     if vals[0]:
                         self._fps = self._fps or 1e6 / vals[0]
                     self._n_declared = vals[4]
                     self._size = (vals[9], vals[8])
                 elif ckid == b"strh":
-                    fcc = data[body:body + 4]
+                    fcc = need(body, 4, "strh")
                     if fcc == b"vids":
                         scale, rate = struct.unpack(
-                            "<II", data[body + 20:body + 28])
+                            "<II", need(body + 20, 8, "strh rates"))
                         if scale:
                             self._fps = rate / scale
                 elif ckid == b"idx1":
-                    idx1 = (body, size)
+                    idx1 = (body, min(size, len(data) - body))
                 pos = body + size + (size % 2)
 
         walk(0, len(data))
         if movi_start is None:
             raise ValueError("no 'movi' list found")
 
+        def chunk_at(p: int, ckid: bytes) -> bool:
+            return data[p:p + 4] == ckid
+
         if idx1 is not None:
             body, size = idx1
+            entries = []
             for e in range(body, body + size - 15, 16):
                 ckid = data[e:e + 4]
                 if ckid[2:4] in (b"dc", b"db"):
                     _, off, csz = struct.unpack("<III", data[e + 4:e + 16])
-                    # offsets are relative to the 'movi' fourcc in most
-                    # files, absolute in some; disambiguate by checking
-                    # the chunk id at the target
-                    for base in (movi_start, 0):
-                        p = base + off
-                        if data[p:p + 2] == b"00" and \
-                                data[p + 2:p + 4] in (b"dc", b"db"):
-                            self._offsets.append((p + 8, csz))
-                            break
+                    entries.append((ckid, off, csz))
+            # offsets are relative to the 'movi' fourcc in most files,
+            # absolute in some. Pick ONE base from the first entry (the
+            # chunk header at the target must equal the entry's own
+            # ckid) and require it to hold for every entry — a lucky
+            # ckid-lookalike inside a JPEG payload can't flip the base
+            # mid-file.
+            if entries:
+                ckid0, off0, _ = entries[0]
+                base = next((bb for bb in (movi_start, 0)
+                             if chunk_at(bb + off0, ckid0)), None)
+                if base is not None and all(
+                        chunk_at(base + off, ckid)
+                        for ckid, off, _ in entries):
+                    self._offsets = [(base + off + 8, csz)
+                                     for _, off, csz in entries]
         if not self._offsets:
             # no (usable) index: scan the movi list
             pos = movi_start + 4
@@ -310,11 +336,12 @@ class MjpegReader:
         return len(self._offsets)
 
     def read(self) -> Optional[np.ndarray]:
-        if self._pos >= len(self._offsets):
+        if self._pos >= len(self._offsets) or self._f is None:
             return None
         off, size = self._offsets[self._pos]
         self._pos += 1
-        return _jpeg_decode(self._data[off:off + size], self._gray)
+        self._f.seek(off)
+        return _jpeg_decode(self._f.read(size), self._gray)
 
     def seek_frame(self, idx: int) -> None:
         self._pos = max(0, min(int(idx), len(self._offsets)))
@@ -327,7 +354,9 @@ class MjpegReader:
             yield f
 
     def release(self) -> None:
-        self._data = b""
+        if self._f is not None:
+            self._f.close()
+            self._f = None
         self._pos = len(self._offsets)
 
     def __enter__(self):

@@ -117,8 +117,9 @@ def sample_video(reader, n_frames: int = 8,
         sample.metadata.fps = fps
         return sample
 
-    idx = np.unique(np.linspace(0, total - 1, min(n_frames, total))
-                    .round().astype(int))
+    from kornia_tpu.models.vlm import sample_video_frames
+
+    idx = sample_video_frames(total, n_frames)
     for i in idx.tolist():
         reader.seek_frame(i)
         f = reader.read()

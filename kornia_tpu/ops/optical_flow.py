@@ -276,11 +276,31 @@ def _track_level_batch_win(prev: jax.Array, nxt: jax.Array,
     return d, ok & inside, err
 
 
+# Largest params.window the fixed (48, 64) extraction window serves
+# with a useful Newton-drift budget (±(48-win)/2-1 rows). Bigger
+# windows fall back to the gather formulation — correct at any size.
+_LKW_MAX_WIN = 27
+
+
 def _default_method() -> str:
     env = os.environ.get("KORNIA_TPU_LK", "")
     if env in ("gather", "windows"):
         return env
     return "windows" if jax.default_backend() == "tpu" else "gather"
+
+
+def _resolve_method(method: str, window: int) -> str:
+    """Resolve 'auto' + apply the windows-capacity guard.
+
+    Runs OUTSIDE jit so the KORNIA_TPU_LK env override takes effect on
+    every call (a trace-time read would be cached under the 'auto'
+    key). ``windows`` silently clamps sampling beyond the extraction
+    window, so windows larger than _LKW_MAX_WIN route to gather."""
+    if method == "auto":
+        method = _default_method()
+    if method == "windows" and window > _LKW_MAX_WIN:
+        return "gather"
+    return method
 
 
 class LKPrecomputed(NamedTuple):
@@ -327,8 +347,7 @@ def calc_optical_flow_pyr_lk_with_precomputed(
     params: PyrLKParams = PyrLKParams(), method: str = "auto",
 ) -> FlowResult:
     """Track (N, 2) xy points using a prebuilt pyramid stack."""
-    if method == "auto":
-        method = _default_method()
+    method = _resolve_method(method, params.window)
     n_levels = len(pre.prev_levels)
     points = points.astype(jnp.float32)
     status = jnp.ones(points.shape[0], bool)
@@ -357,6 +376,12 @@ def calc_optical_flow_pyr_lk_with_precomputed(
 
 
 @partial(jax.jit, static_argnames=("params", "method"))
+def _lk_jit(prev_gray, next_gray, points, params, method):
+    pre = build_lk_precomputed(prev_gray, next_gray, params)
+    return calc_optical_flow_pyr_lk_with_precomputed(pre, points, params,
+                                                     method)
+
+
 def calc_optical_flow_pyr_lk(
     prev_gray: jax.Array, next_gray: jax.Array, points: jax.Array,
     params: PyrLKParams = PyrLKParams(), method: str = "auto",
@@ -365,8 +390,9 @@ def calc_optical_flow_pyr_lk(
 
     Reference: calc_optical_flow_pyr_lk, optical_flow_pyr_lk.rs:1311.
     ``method``: "windows" (TPU default — window-resident matmul
-    resampling), "gather" (CPU default), or "auto".
+    resampling; windows > 27 px route to gather, whose results are
+    exact at any size), "gather" (CPU default), or "auto". Resolved
+    per call so the ``KORNIA_TPU_LK`` override always takes effect.
     """
-    pre = build_lk_precomputed(prev_gray, next_gray, params)
-    return calc_optical_flow_pyr_lk_with_precomputed(pre, points, params,
-                                                     method)
+    return _lk_jit(prev_gray, next_gray, points, params,
+                   _resolve_method(method, params.window))

@@ -356,3 +356,27 @@ class TestLKWindowsFormulation:
                            - np.asarray(rw.points)[both], axis=1)
         assert np.median(d) < 1e-3
         assert d.max() < 0.05
+
+    def test_large_window_routes_to_gather(self, rng):
+        """windows' fixed extraction slab cannot serve big LK windows;
+        the resolver must fall back to the (always-correct) gather
+        path instead of silently clamping."""
+        from kornia_tpu.ops.optical_flow import _resolve_method
+
+        assert _resolve_method("windows", 21) == "windows"
+        assert _resolve_method("windows", 31) == "gather"
+        assert _resolve_method("auto", 51) == "gather"
+
+        base = np.random.default_rng(5).standard_normal((12, 16))
+        img0 = cv2.resize(base, (128, 96),
+                          interpolation=cv2.INTER_CUBIC).astype(np.float32)
+        img1 = np.roll(img0, 2, axis=1)
+        pts = np.asarray([[48.0, 40.0], [70.0, 50.0]], np.float32)
+        params = oflow.PyrLKParams(window=31, max_level=1)
+        r = oflow.calc_optical_flow_pyr_lk(
+            jnp.asarray(img0), jnp.asarray(img1), jnp.asarray(pts),
+            params, method="windows")
+        flow = np.asarray(r.points) - pts
+        ok = np.asarray(r.status)
+        assert ok.all()
+        np.testing.assert_allclose(flow[:, 0], 2.0, atol=0.1)

@@ -513,3 +513,26 @@ class TestMjpegAvi:
             w.write(np.zeros((9, 8, 3), np.uint8))
         w.release()
         w.release()  # idempotent
+
+    def test_write_after_release_rejected(self, tmp_path):
+        from kornia_tpu.io.mjpeg_avi import MjpegWriter
+
+        w = MjpegWriter(str(tmp_path / "wr.avi"), 10, (8, 8))
+        w.write(np.zeros((8, 8, 3), np.uint8))
+        w.release()
+        with pytest.raises(ValueError, match="closed"):
+            w.write(np.zeros((8, 8, 3), np.uint8))
+
+    def test_truncated_header_rejected(self, tmp_path):
+        from kornia_tpu.io.mjpeg_avi import MjpegReader, MjpegWriter
+
+        path = str(tmp_path / "full.avi")
+        with MjpegWriter(path, 10, (8, 8)) as w:
+            w.write(np.zeros((8, 8, 3), np.uint8))
+        with open(path, "rb") as f:
+            data = f.read()
+        cut = str(tmp_path / "cut.avi")
+        with open(cut, "wb") as f:
+            f.write(data[:40])  # cut inside the avih chunk
+        with pytest.raises(ValueError, match="truncated|corrupted"):
+            MjpegReader(cut)
