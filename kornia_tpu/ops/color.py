@@ -478,6 +478,106 @@ def _gray_lut():
     return np.stack([x, x, x], -1)
 
 
+def _formula_lut(fn):
+    """256-entry u8 LUT from an (x in [0,1]) -> (r,g,b in [0,1]) fn."""
+    import numpy as np
+
+    def build():
+        x = np.linspace(0.0, 1.0, 256)
+        lut = np.stack(fn(x, np), -1).clip(0.0, 1.0)
+        return (lut * 255.0).round().astype(np.uint8)
+
+    return build
+
+
+# MATLAB/OpenCV classic linear maps (public closed forms; reference
+# colormap.rs ColormapType rows)
+def _autumn(x, np):
+    return np.ones_like(x), x, np.zeros_like(x)
+
+
+def _winter(x, np):
+    return np.zeros_like(x), x, 1.0 - 0.5 * x
+
+
+def _spring(x, np):
+    return np.ones_like(x), x, 1.0 - x
+
+
+def _summer(x, np):
+    return x, 0.5 + 0.5 * x, np.full_like(x, 0.4)
+
+
+def _cool(x, np):
+    return x, 1.0 - x, np.ones_like(x)
+
+
+def _ocean(x, np):
+    return np.clip(3 * x - 2, 0, 1), np.clip((3 * x - 1) / 2, 0, 1), x
+
+
+def _bone(x, np):
+    r = np.where(x < 0.75, 7 / 8 * x, 11 / 8 * x - 3 / 8)
+    g = np.where(x < 0.375, 7 / 8 * x,
+                 np.where(x < 0.75, 29 / 24 * x - 1 / 8,
+                          7 / 8 * x + 1 / 8))
+    b = np.where(x < 0.375, 29 / 24 * x, 7 / 8 * x + 1 / 8)
+    return r, g, b
+
+
+def _pink(x, np):
+    # MATLAB pink = sqrt((2*gray + hot)/3)
+    hr = np.clip(x / 0.4, 0, 1)
+    hg = np.clip((x - 0.4) / 0.4, 0, 1)
+    hb = np.clip((x - 0.8) / 0.2, 0, 1)
+    return (np.sqrt((2 * x + hr) / 3), np.sqrt((2 * x + hg) / 3),
+            np.sqrt((2 * x + hb) / 3))
+
+
+def _hsv_map(x, np):
+    h = x * 6.0
+    r = np.clip(np.abs(h - 3.0) - 1.0, 0, 1)
+    g = np.clip(2.0 - np.abs(h - 2.0), 0, 1)
+    b = np.clip(2.0 - np.abs(h - 4.0), 0, 1)
+    return r, g, b
+
+
+def _rainbow(x, np):
+    # violet -> blue -> green -> yellow -> red (reverse hue sweep)
+    h = (1.0 - x) * 4.0 / 6.0 * 6.0  # hue 240deg..0deg
+    r = np.clip(np.abs(h - 3.0) - 1.0, 0, 1)
+    g = np.clip(2.0 - np.abs(h - 2.0), 0, 1)
+    b = np.clip(2.0 - np.abs(h - 4.0), 0, 1)
+    return r, g, b
+
+
+def _deepgreen(x, np):
+    # black -> deep green -> white ramp (OpenCV 4.x DEEPGREEN shape)
+    return np.clip(2 * x - 1, 0, 1), x, np.clip(2 * x - 1, 0, 1) * 0.8 \
+        + np.clip(3 * x - 2.4, 0, 1) * 0.2
+
+
+def _matplotlib_lut(name):
+    """Exact 256-entry LUT from matplotlib's published colormap data
+    (perceptual families: magma/inferno/plasma/cividis/twilight/
+    parula-alias). Gated on matplotlib being importable."""
+
+    def build():
+        import numpy as np
+
+        try:
+            import matplotlib
+        except ImportError as e:  # pragma: no cover
+            raise ValueError(
+                f"colormap '{name}' needs matplotlib for its published "
+                "LUT data") from e
+        cmap = matplotlib.colormaps[name]
+        lut = cmap(np.linspace(0.0, 1.0, 256))[:, :3]
+        return (lut * 255.0).round().astype(np.uint8)
+
+    return build
+
+
 _COLORMAPS = {}
 _LUT_BUILDERS = {
     "viridis": _viridis_lut,
@@ -485,6 +585,25 @@ _LUT_BUILDERS = {
     "turbo": _turbo_lut,
     "hot": _hot_lut,
     "gray": _gray_lut,
+    "autumn": _formula_lut(_autumn),
+    "winter": _formula_lut(_winter),
+    "spring": _formula_lut(_spring),
+    "summer": _formula_lut(_summer),
+    "cool": _formula_lut(_cool),
+    "ocean": _formula_lut(_ocean),
+    "bone": _formula_lut(_bone),
+    "pink": _formula_lut(_pink),
+    "hsv": _formula_lut(_hsv_map),
+    "rainbow": _formula_lut(_rainbow),
+    "deepgreen": _formula_lut(_deepgreen),
+    "magma": _matplotlib_lut("magma"),
+    "inferno": _matplotlib_lut("inferno"),
+    "plasma": _matplotlib_lut("plasma"),
+    "cividis": _matplotlib_lut("cividis"),
+    "twilight": _matplotlib_lut("twilight"),
+    # MATLAB parula is license-encumbered; matplotlib's viridis is the
+    # standard open substitute and is what we alias it to.
+    "parula": _matplotlib_lut("viridis"),
 }
 
 

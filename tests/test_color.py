@@ -156,9 +156,26 @@ class TestColormapsExtra:
         import numpy as np
         from kornia_tpu.ops import color
         g = jnp.asarray(np.arange(256, dtype=np.uint8).reshape(16, 16))
-        for name in ("viridis", "jet", "turbo", "hot", "gray"):
+        # every ColormapType row of the reference (colormap.rs:18-60)
+        for name in color._LUT_BUILDERS:
             out = color.apply_colormap(g, name)
             assert out.shape == (16, 16, 3) and out.dtype == jnp.uint8
+        assert len(color._LUT_BUILDERS) >= 21
+        # classic endpoint contracts
+        lut = color._LUT_BUILDERS["autumn"]()
+        assert tuple(lut[0]) == (255, 0, 0)
+        assert tuple(lut[-1]) == (255, 255, 0)
+        lut = color._LUT_BUILDERS["cool"]()
+        assert tuple(lut[0]) == (0, 255, 255)
+        assert tuple(lut[-1]) == (255, 0, 255)
+        lut = color._LUT_BUILDERS["bone"]()
+        assert tuple(lut[0]) == (0, 0, 0)
+        assert tuple(lut[-1]) == (255, 255, 255)
+        # perceptual family pulls matplotlib's published data exactly
+        import matplotlib
+        ref = (matplotlib.colormaps["magma"](
+            np.linspace(0, 1, 256))[:, :3] * 255).round().astype(np.uint8)
+        np.testing.assert_array_equal(color._LUT_BUILDERS["magma"](), ref)
         # gray LUT is identity per channel
         out = np.asarray(color.apply_colormap(g, "gray"))
         np.testing.assert_array_equal(out[..., 0], np.asarray(g))
