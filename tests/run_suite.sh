@@ -1,0 +1,26 @@
+#!/usr/bin/env bash
+# Full-suite runner: one pytest process per test module.
+#
+# Why not `pytest tests/`? The XLA CPU compiler can segfault inside
+# `backend_compile_and_load` in a long-lived process after hundreds of
+# prior compilations (observed twice on the 1-core CI box: once in a
+# warp sweep, once compiling the BA lax.scan in test_slam — both tests
+# pass deterministically in fresh processes). Per-module isolation also
+# bounds the blast radius of any crash to one module's report.
+#
+# Usage: tests/run_suite.sh [extra pytest args...]
+#        tests/run_suite.sh -m "not slow"     # fast tier, isolated
+set -u
+cd "$(dirname "$0")/.."
+fail=0
+for f in tests/test_*.py; do
+    echo "=== $f"
+    python -m pytest "$f" -q -p no:cacheprovider "$@"
+    rc=$?
+    # pytest exit 5 = no tests collected (e.g. everything deselected)
+    if [ $rc -ne 0 ] && [ $rc -ne 5 ]; then
+        echo "!!! $f failed (exit $rc)"
+        fail=1
+    fi
+done
+exit $fail
