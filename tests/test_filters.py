@@ -1,6 +1,7 @@
 """Filter parity vs cv2."""
 
 import cv2
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -162,3 +163,52 @@ class TestCanny:
         both = ((ours > 0) & (ref > 0)).sum()
         either = ((ours > 0) | (ref > 0)).sum()
         assert either == 0 or both / either > 0.5
+
+
+class TestClahe:
+    """CLAHE vs cv2.createCLAHE — exact integer clip/redistribution +
+    cv2's tile interpolation geometry (<=1 LSB rounding ties)."""
+
+    @pytest.mark.parametrize("clip,grid", [
+        (40.0, (8, 8)), (2.0, (8, 8)), (40.0, (6, 5)), (4.0, (4, 4))])
+    def test_vs_cv2(self, clip, grid):
+        import cv2
+
+        from kornia_tpu.ops import enhance
+
+        rng = np.random.default_rng(0)
+        base = rng.standard_normal((12, 16))
+        img = cv2.resize(base, (320, 240),
+                         interpolation=cv2.INTER_CUBIC)
+        img = ((img - img.min()) / (img.max() - img.min())
+               * 255).astype(np.uint8)
+        ref = cv2.createCLAHE(clipLimit=clip,
+                              tileGridSize=grid[::-1]).apply(img)
+        ours = np.asarray(enhance.clahe(jnp.asarray(img), clip, grid))
+        d = np.abs(ours.astype(int) - ref.astype(int))
+        assert d.max() <= 1
+        assert d.mean() < 0.02
+
+
+class TestMedianNetwork:
+    def test_median3_matches_cv2_interior(self):
+        import cv2
+
+        from kornia_tpu.ops import filters
+
+        rng = np.random.default_rng(1)
+        img = rng.integers(0, 256, (120, 160), np.uint8)
+        ours = np.asarray(filters.median_blur(
+            jnp.asarray(img).astype(jnp.float32), 3)).astype(np.uint8)
+        ref = cv2.medianBlur(img, 3)
+        d = np.abs(ours[1:-1, 1:-1].astype(int)
+                   - ref[1:-1, 1:-1].astype(int))
+        assert d.max() == 0
+
+    def test_median5_still_works(self):
+        from kornia_tpu.ops import filters
+
+        rng = np.random.default_rng(2)
+        img = rng.standard_normal((40, 50)).astype(np.float32)
+        out = np.asarray(filters.median_blur(jnp.asarray(img), 5))
+        assert out.shape == img.shape
