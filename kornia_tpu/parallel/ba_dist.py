@@ -6,34 +6,44 @@ in kornia-3d/src/ba_schur.rs — see SURVEY.md §3.4 / §5.7).
 
 Design:
   * **Sharding**: points are partitioned contiguously across the mesh's
-    "obs" axis; every observation lives on the shard that owns its point
-    (so the per-point Schur pair products never cross devices). Poses and
-    intrinsics are replicated (6P is small).
-  * **Per step**: each device accumulates its partial pose blocks
-    U, g_p and its partial reduced system S, rhs from local observations →
-    one `psum` of (S, rhs) over ICI → every device runs the same dense
-    Cholesky (replicated solve, no broadcast needed) → local point
-    back-substitution touches only local points.
+    "obs" axis. Observations can enter in either layout:
+      - *point-co-located* (`shard_problem`): each observation already
+        lives on the shard owning its point — zero exchange;
+      - *keyframe-sharded* (`shard_problem_by_keyframe`): each
+        observation starts on the shard that produced it (its keyframe's
+        owner — the natural front-end layout), and the BA program itself
+        runs the ragged `all_to_all` (parallel.exchange) to move every
+        observation to its point's owner before reduction. This is the
+        north-star dataflow: sharded front-end → observation exchange →
+        psum'd Schur.
+    Poses and intrinsics are replicated (6P is small).
+  * **Per LM iteration** (collective budget, recorded in PERF_NOTES):
+    each device accumulates its partial pose blocks U, g_p, the Schur
+    rhs, and — when it fits (`_S_MAT_BYTES`/`_BC_MAT_BYTES`) — its
+    partial *materialized* reduced camera system S_local, all packed
+    into ONE flat `psum`; the solve (dense Cholesky for small P,
+    replicated block-PCG on the materialized S otherwise) is then
+    entirely collective-free; a second scalar `psum` evaluates the
+    accept/reject cost. **2 collectives per LM iteration.** Only at true
+    pod scale, where S cannot materialize, does the matrix-free PCG path
+    pay one psum per CG step.
   * The LM loop (`lax.scan`) lives *inside* `shard_map`, so the whole
-    optimization is one compiled SPMD program with one collective per
-    iteration.
+    optimization is one compiled SPMD program.
 
-Host-side `shard_problem` does the static partitioning/padding (topology
-is static, as in optim/ba.py).
+Host-side `shard_problem*` does the static partitioning/padding
+(topology is static, as in optim/ba.py).
 """
 
 from __future__ import annotations
 
-import dataclasses
-import functools
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from kornia_tpu.geometry.linalg import inv3x3
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from kornia_tpu.geometry.linalg import inv3x3, solve_unrolled
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from kornia_tpu.geometry import liegroup as lg
@@ -41,12 +51,21 @@ from kornia_tpu.optim import ba as ba_mod
 from kornia_tpu.optim.ba import BAParams, BAResult
 from kornia_tpu.optim.losses import LOSSES
 from kornia_tpu.parallel.mesh import OBS_AXIS
+from kornia_tpu.parallel import exchange as ex_mod
 
 _HI = jax.lax.Precision.HIGHEST
 
+# materialization budgets (bytes, f32): the reduced camera system
+# S (P, P, 6, 6) and the per-(point, cam) coupling aggregate
+# Bc (Nl, P, 6, 3). Below these, every CG iteration is collective-free
+# (replicated solve on the psum'd dense S); above, fall back to the
+# matrix-free PCG whose matvec psums a (P, 6) block per step.
+_S_MAT_BYTES = 1 << 30
+_BC_MAT_BYTES = 1 << 30
+
 
 class ShardedBAProblem(NamedTuple):
-    """Device-sharded BA problem (leading axis = device shards)."""
+    """Point-co-located sharded BA problem (leading axis = shards)."""
 
     poses: jax.Array          # (P, 7) replicated
     points: jax.Array         # (D, Nl, 3) sharded
@@ -57,8 +76,6 @@ class ShardedBAProblem(NamedTuple):
     obs_w: jax.Array          # (D, Ml) 0 = padding
     fixed_poses: jax.Array    # (P,) replicated
     fixed_points: jax.Array   # (D, Nl)
-    obs_by_point: jax.Array   # (D, Nl, K) local obs ids
-    obs_by_point_mask: jax.Array  # (D, Nl, K)
     n_points: int             # true (unpadded) point count
     # per-shard tiled segment engine (optim/ba.py engine, sharded):
     # on real chips the per-device segmented reductions hit the same
@@ -68,6 +85,23 @@ class ShardedBAProblem(NamedTuple):
     seg_oh: Optional[jax.Array] = None    # (D, tiles, T, S) f32
     seg_ids: Optional[jax.Array] = None   # (D, tiles * S) int32
     cam_oh: Optional[jax.Array] = None    # (D, P, Ml) f32
+
+
+class KeyframeShardedBA(NamedTuple):
+    """Keyframe-sharded BA problem: observations live on their
+    *producer* shard (keyframe owner) and carry routing buffers for the
+    in-program all_to_all to their point's owner shard."""
+
+    poses: jax.Array          # (P, 7) replicated
+    points: jax.Array         # (D, Nl, 3) sharded (contiguous ranges)
+    k: jax.Array              # (3, 3) replicated
+    send_cam: jax.Array       # (D, D, B) int32 global pose ids
+    send_pt: jax.Array        # (D, D, B) int32 point id LOCAL TO DEST
+    send_uv: jax.Array        # (D, D, B, 2) f32
+    send_w: jax.Array         # (D, D, B) f32; 0 = padding
+    fixed_poses: jax.Array    # (P,)
+    fixed_points: jax.Array   # (D, Nl)
+    n_points: int
 
 
 def shard_problem(problem: ba_mod.BAProblem, n_devices: int) -> ShardedBAProblem:
@@ -112,19 +146,6 @@ def shard_problem(problem: ba_mod.BAProblem, n_devices: int) -> ShardedBAProblem
         o_w[d, s] = obs_w[i]
         fill[d] += 1
 
-    # per-shard obs-by-point lists
-    K = problem.obs_by_point.shape[1]
-    by = np.zeros((n_devices, nl, K), np.int32)
-    bym = np.zeros((n_devices, nl, K), bool)
-    slot = np.zeros((n_devices, nl), np.int32)
-    for d in range(n_devices):
-        for s in range(fill[d]):
-            j = o_pt[d, s]
-            if slot[d, j] < K:
-                by[d, j, slot[d, j]] = s
-                bym[d, j, slot[d, j]] = True
-                slot[d, j] += 1
-
     # per-shard tiled segment engine + camera one-hot (see optim/ba.py;
     # KORNIA_TPU_BA_ENGINE gates it — auto = TPU only)
     seg_t, seg_s = ba_mod._SEG_T, ba_mod._SEG_S
@@ -163,13 +184,83 @@ def shard_problem(problem: ba_mod.BAProblem, n_devices: int) -> ShardedBAProblem
         obs_w=jnp.asarray(o_w),
         fixed_poses=problem.fixed_poses,
         fixed_points=jnp.asarray(fixed_pad.reshape(n_devices, nl)),
-        obs_by_point=jnp.asarray(by),
-        obs_by_point_mask=jnp.asarray(bym),
         n_points=n,
         seg_oh=seg_oh,
         seg_ids=seg_ids,
         cam_oh=cam_oh,
     )
+
+
+def shard_problem_by_keyframe(
+    problem: ba_mod.BAProblem, n_devices: int,
+    cam_shard: Optional[np.ndarray] = None,
+) -> KeyframeShardedBA:
+    """Partition a BAProblem the way a sharded *front-end* produces it:
+    each observation sits on the shard owning its keyframe (camera); the
+    BA program exchanges them to their point-owner shards in-flight.
+
+    ``cam_shard``: (P,) shard owner per camera; default = contiguous
+    blocks of ceil(P / D) cameras. Point ownership is contiguous ranges
+    of ceil(N / D), matching :func:`shard_problem`.
+    """
+    obs_pt = np.asarray(problem.obs_pt)
+    obs_cam = np.asarray(problem.obs_cam)
+    obs_uv = np.asarray(problem.obs_uv)
+    obs_w = np.asarray(problem.obs_w)
+    points = np.asarray(problem.points)
+    fixed_points = np.asarray(problem.fixed_points)
+    n = points.shape[0]
+    p = np.asarray(problem.poses).shape[0]
+
+    # drop build_problem's zero-weight padding rows — no point shipping
+    # them through the interconnect
+    real = obs_w != 0.0
+    obs_pt, obs_cam = obs_pt[real], obs_cam[real]
+    obs_uv, obs_w = obs_uv[real], obs_w[real]
+
+    if cam_shard is None:
+        per = -(-p // n_devices)
+        cam_shard = np.minimum(np.arange(p) // per, n_devices - 1)
+    cam_shard = np.asarray(cam_shard, np.int64)
+
+    nl = -(-n // n_devices)
+    n_pad = nl * n_devices
+    pts_pad = np.zeros((n_pad, 3), np.float32)
+    pts_pad[:n] = points
+    fixed_pad = np.ones(n_pad, bool)
+    fixed_pad[:n] = fixed_points
+
+    plan = ex_mod.build_exchange_plan(
+        obs_src_shard=cam_shard[obs_cam], obs_cam=obs_cam, obs_pt=obs_pt,
+        obs_uv=obs_uv, n_devices=n_devices, points_per_shard=nl,
+        obs_w=obs_w)
+
+    return KeyframeShardedBA(
+        poses=problem.poses,
+        points=jnp.asarray(pts_pad.reshape(n_devices, nl, 3)),
+        k=problem.k,
+        send_cam=plan.obs_cam,
+        send_pt=plan.obs_pt,
+        send_uv=plan.obs_uv,
+        send_w=plan.obs_w,
+        fixed_poses=problem.fixed_poses,
+        fixed_points=jnp.asarray(fixed_pad.reshape(n_devices, nl)),
+        n_points=n,
+    )
+
+
+def _psum_packed(arrs, axis):
+    """ONE collective for a list of arrays: flatten, concat, psum,
+    unpack. (XLA can combine adjacent all-reduces, but packing makes the
+    1-collective contract explicit and shape-independent.)"""
+    flat = jnp.concatenate([a.reshape(-1) for a in arrs])
+    out = jax.lax.psum(flat, axis)
+    res = []
+    off = 0
+    for a in arrs:
+        res.append(out[off:off + a.size].reshape(a.shape))
+        off += a.size
+    return res
 
 
 def _local_cost(poses, points_l, k, obs_cam, obs_pt, obs_uv, obs_w, params,
@@ -182,28 +273,256 @@ def _local_cost(poses, points_l, k, obs_cam, obs_pt, obs_uv, obs_w, params,
     return 0.5 * jnp.sum(obs_w * w * sq)
 
 
+def _cg_on_dense_blocks(s_blocks, u_damped, rhs, free, iters):
+    """Replicated PCG on the materialized reduced camera system
+    (s_blocks (P, P, 6, 6), gauge-fixed) — zero collectives per step;
+    block-Jacobi preconditioner from the damped U diagonal."""
+    p = rhs.shape[0]
+    eye6 = jnp.broadcast_to(jnp.eye(6, dtype=jnp.float32), (p, 6, 6))
+    m_blocks = jnp.where(free[:, None, None] > 0, u_damped, eye6)
+    minv = solve_unrolled(m_blocks, eye6)
+
+    def matvec(v):
+        return jnp.einsum("pqij,qj->pi", s_blocks, v, precision=_HI)
+
+    def apply_minv(r_):
+        return jnp.einsum("pij,pj->pi", minv, r_, precision=_HI)
+
+    x0 = jnp.zeros_like(rhs)
+    r0 = rhs
+    z0 = apply_minv(r0)
+    rz0 = jnp.sum(r0 * z0)
+
+    def body(carry, _):
+        x, r_, pk, rz = carry
+        ap = matvec(pk)
+        denom = jnp.sum(pk * ap)
+        alive = (rz > 1e-20) & (denom > 1e-20)
+        alpha = jnp.where(alive, rz / jnp.maximum(denom, 1e-20), 0.0)
+        x = x + alpha * pk
+        r_ = r_ - alpha * ap
+        z = apply_minv(r_)
+        rz_new = jnp.sum(r_ * z)
+        beta = jnp.where(alive, rz_new / jnp.maximum(rz, 1e-20), 0.0)
+        return (x, r_, z + beta * pk, rz_new), None
+
+    (x, _, _, _), _ = jax.lax.scan(body, (x0, r0, z0, rz0), None,
+                                   length=iters)
+    return x
+
+
+def _lm_schur_loop(poses, points_l, k, obs_cam, obs_pt, obs_uv, obs_w,
+                   fixed_poses, fixed_points_l, params: BAParams,
+                   axis: str, seg_oh_l=None, seg_ids_l=None, cam_oh_l=None):
+    """The shared per-shard LM-Schur loop. Runs INSIDE ``shard_map``:
+    ``points_l``/``obs_*``/``fixed_points_l`` are this shard's blocks,
+    poses/k/fixed_poses are replicated. Returns
+    (poses_f, points_f, c0, cost_f)."""
+    p = poses.shape[0]
+    nl = points_l.shape[0]
+    free = (~fixed_poses).astype(jnp.float32)
+    # a point participates iff it receives weighted observations
+    has_obs = ba_mod._seg_sum_pt(
+        obs_w[:, None], obs_pt, nl, seg_oh_l, seg_ids_l)[:, 0] > 0.0
+    active = (~fixed_points_l) & has_obs
+
+    # static solver pick (shapes are static at trace time)
+    s_fits = p * p * 36 * 4 <= _S_MAT_BYTES
+    bc_fits = nl * p * 18 * 4 <= _BC_MAT_BYTES
+    if params.solver == "dense" or (params.solver == "auto" and p <= 400):
+        mode = "chol"
+    elif s_fits and bc_fits:
+        mode = "cg_dense"        # materialized S, collective-free CG
+    else:
+        mode = "cg_matfree"      # pod scale: one psum per CG step
+
+    def total_cost(ps, pts_l):
+        local = _local_cost(ps, pts_l, k, obs_cam, obs_pt, obs_uv,
+                            obs_w, params, seg_oh_l, seg_ids_l, cam_oh_l)
+        return jax.lax.psum(local, axis)
+
+    eye3 = jnp.eye(3, dtype=jnp.float32)
+    eye6 = jnp.eye(6, dtype=jnp.float32)
+
+    def step(carry, _):
+        poses_c, points_c, lam, cost = carry
+        r, j_pose, j_pt = ba_mod._project_with_jacobians(
+            poses_c, points_c, k, obs_cam, obs_pt, obs_uv,
+            seg_oh=seg_oh_l, seg_ids=seg_ids_l, cam_oh=cam_oh_l,
+        )
+        sq = jnp.sum(r * r, axis=-1)
+        w = obs_w * LOSSES[params.loss](sq, params.loss_scale)
+        wj_pose = j_pose * w[:, None, None]
+        wj_pt = j_pt * w[:, None, None]
+
+        u_b = jnp.einsum("mki,mkj->mij", wj_pose, j_pose, precision=_HI)
+        v_b = jnp.einsum("mki,mkj->mij", wj_pt, j_pt, precision=_HI)
+        b_b = jnp.einsum("mki,mkj->mij", wj_pose, j_pt, precision=_HI)
+        gp_t = -jnp.einsum("mki,mk->mi", wj_pose, r, precision=_HI)
+        gx_t = -jnp.einsum("mki,mk->mi", wj_pt, r, precision=_HI)
+
+        u_partial = ba_mod._seg_sum_cam(u_b, obs_cam, p, cam_oh_l)
+        gp_partial = ba_mod._seg_sum_cam(gp_t, obs_cam, p, cam_oh_l)
+        # point blocks are fully local (obs arrive co-located w/ points)
+        V = ba_mod._seg_sum_pt(v_b, obs_pt, nl, seg_oh_l, seg_ids_l)
+        g_x = ba_mod._seg_sum_pt(gx_t, obs_pt, nl, seg_oh_l, seg_ids_l)
+
+        v_damped = V + (lam * jnp.maximum(
+            jnp.diagonal(V, axis1=-2, axis2=-1), 1e-9))[..., None, :] * eye3
+        v_inv = jnp.where(
+            active[:, None, None],
+            inv3x3(v_damped + (~active)[:, None, None] * eye3),
+            0.0,
+        )
+        y_b = jnp.einsum(
+            "mij,mjk->mik", b_b,
+            ba_mod._expand_pt(v_inv, obs_pt, seg_oh_l, seg_ids_l),
+            precision=_HI)
+        rhs_terms = jnp.einsum(
+            "mij,mj->mi", y_b,
+            ba_mod._expand_pt(g_x, obs_pt, seg_oh_l, seg_ids_l),
+            precision=_HI)
+        rhs_partial = ba_mod._seg_sum_cam(rhs_terms, obs_cam, p, cam_oh_l)
+
+        # ---- the ONE packed collective of the iteration -------------
+        if mode in ("chol", "cg_dense"):
+            m = b_b.shape[0]
+            pair_key = obs_pt.astype(jnp.int32) * p + obs_cam
+            bc = jax.ops.segment_sum(
+                b_b.reshape(m, 18), pair_key, num_segments=nl * p
+            ).reshape(nl, p, 6, 3)
+            yc = jnp.einsum("npis,nst->npit", bc, v_inv, precision=_HI)
+            s_local = jnp.einsum("npis,nqjs->pqij", yc, bc, precision=_HI)
+            U, g_p, rhs_part, s_sum = _psum_packed(
+                [u_partial, gp_partial, rhs_partial, s_local], axis)
+        else:
+            U, g_p, rhs_part = _psum_packed(
+                [u_partial, gp_partial, rhs_partial], axis)
+            s_sum = None
+        rhs_p = g_p - rhs_part
+
+        u_damped = U + (lam * jnp.maximum(
+            jnp.diagonal(U, axis1=-2, axis2=-1),
+            1e-9))[..., None, :] * eye6
+
+        if mode in ("chol", "cg_dense"):
+            s = -s_sum
+            s = s.at[jnp.arange(p), jnp.arange(p)].add(u_damped)
+            # gauge fixing: fixed poses → identity rows/cols, zero rhs
+            s = s * free[:, None, None, None] * free[None, :, None, None]
+            s = s.at[jnp.arange(p), jnp.arange(p)].add(
+                (1.0 - free)[:, None, None] * eye6)
+            rhs = rhs_p * free[:, None]
+            if mode == "chol":
+                s_dense = s.transpose(0, 2, 1, 3).reshape(p * 6, p * 6)
+                l = jnp.linalg.cholesky(s_dense)
+                yv = jax.scipy.linalg.solve_triangular(
+                    l, rhs.reshape(-1), lower=True)
+                dp = jax.scipy.linalg.solve_triangular(
+                    l.T, yv, lower=False).reshape(p, 6)
+            else:
+                dp = _cg_on_dense_blocks(
+                    s, u_damped, rhs, free, params.cg_iters)
+            dp = dp * free[:, None]
+        else:
+            # matrix-free distributed PCG: each CG step is local O(M/D)
+            # observation work + ONE psum of the (P, 6) product
+            rhs_p2 = rhs_p * free[:, None]
+
+            def matvec(v):
+                vf = v * free[:, None]
+                t1 = jnp.einsum(
+                    "mij,mi->mj", b_b,
+                    ba_mod._expand_cam(vf, obs_cam, cam_oh_l),
+                    precision=_HI)
+                t2 = ba_mod._seg_sum_pt(t1, obs_pt, nl,
+                                        seg_oh_l, seg_ids_l)
+                t3 = jnp.einsum("nij,nj->ni", v_inv, t2, precision=_HI)
+                t4 = jnp.einsum(
+                    "mij,mj->mi", b_b,
+                    ba_mod._expand_pt(t3, obs_pt, seg_oh_l, seg_ids_l),
+                    precision=_HI)
+                sv_part = ba_mod._seg_sum_cam(t4, obs_cam, p, cam_oh_l)
+                sv = (jnp.einsum("pij,pj->pi", u_damped, vf,
+                                 precision=_HI)
+                      - jax.lax.psum(sv_part, axis))
+                return sv * free[:, None] + v * (1.0 - free[:, None])
+
+            eye6b = jnp.broadcast_to(eye6, (p, 6, 6))
+            m_blocks = jnp.where(free[:, None, None] > 0,
+                                 u_damped, eye6b)
+            minv = solve_unrolled(m_blocks, eye6b)
+
+            def apply_minv(r_):
+                return jnp.einsum("pij,pj->pi", minv, r_, precision=_HI)
+
+            x0 = jnp.zeros_like(rhs_p2)
+            r0 = rhs_p2
+            z0 = apply_minv(r0)
+            rz0 = jnp.sum(r0 * z0)
+
+            def cg_body(carry, _):
+                x, r_, pk, rz = carry
+                ap = matvec(pk)
+                denom = jnp.sum(pk * ap)
+                alive = (rz > 1e-20) & (denom > 1e-20)
+                alpha = jnp.where(
+                    alive, rz / jnp.maximum(denom, 1e-20), 0.0)
+                x = x + alpha * pk
+                r_ = r_ - alpha * ap
+                z = apply_minv(r_)
+                rz_new = jnp.sum(r_ * z)
+                beta = jnp.where(
+                    alive, rz_new / jnp.maximum(rz, 1e-20), 0.0)
+                return (x, r_, z + beta * pk, rz_new), None
+
+            (dp, _, _, _), _ = jax.lax.scan(
+                cg_body, (x0, r0, z0, rz0), None,
+                length=params.cg_iters)
+            dp = dp * free[:, None]
+
+        # local point back-substitution
+        bt_dp = jnp.einsum(
+            "mij,mi->mj", b_b,
+            ba_mod._expand_cam(dp, obs_cam, cam_oh_l), precision=_HI)
+        acc = ba_mod._seg_sum_pt(bt_dp, obs_pt, nl, seg_oh_l, seg_ids_l)
+        dx = jnp.einsum("nij,nj->ni", v_inv, g_x - acc, precision=_HI)
+        dx = dx * active[:, None]
+
+        new_poses = lg.se3_retract(poses_c, dp)
+        new_points = points_c + dx
+        new_cost = total_cost(new_poses, new_points)
+        accept = new_cost < cost
+        poses_o = jnp.where(accept, new_poses, poses_c)
+        points_o = jnp.where(accept, new_points, points_c)
+        lam_o = jnp.clip(
+            jnp.where(accept, lam / params.lambda_factor,
+                      lam * params.lambda_factor),
+            1e-10, 1e8,
+        )
+        return (poses_o, points_o, lam_o,
+                jnp.where(accept, new_cost, cost)), None
+
+    c0 = total_cost(poses, points_l)
+    (poses_f, points_f, lam_f, cost_f), _ = jax.lax.scan(
+        step,
+        (poses, points_l, jnp.asarray(params.lambda_init, jnp.float32), c0),
+        None, length=params.max_iterations,
+    )
+    return poses_f, points_f, c0, cost_f
+
+
 def bundle_adjust_schur_dist(
     sharded: ShardedBAProblem, mesh: Mesh, params: BAParams = BAParams()
 ) -> BAResult:
-    """Run the distributed LM-Schur loop as one SPMD program over ``mesh``."""
-    p = sharded.poses.shape[0]
+    """Run the distributed LM-Schur loop (point-co-located layout) as
+    one SPMD program over ``mesh``."""
     axis = mesh.axis_names[0]
-
     has_seg = sharded.seg_oh is not None
     has_cam = sharded.cam_oh is not None
 
     def spmd(poses, points_s, k, obs_cam_s, obs_pt_s, obs_uv_s, obs_w_s,
-             fixed_poses, fixed_points_s, by_s, bym_s, *eng):
-        # strip the shard axis (shard_map gives (1, ...) blocks)
-        points_l = points_s[0]
-        obs_cam = obs_cam_s[0]
-        obs_pt = obs_pt_s[0]
-        obs_uv = obs_uv_s[0]
-        obs_w = obs_w_s[0]
-        fixed_points_l = fixed_points_s[0]
-        by = by_s[0]
-        bym = bym_s[0]
-        nl = points_l.shape[0]
+             fixed_poses, fixed_points_s, *eng):
         ei = 0
         seg_oh_l = seg_ids_l = cam_oh_l = None
         if has_seg:
@@ -211,198 +530,18 @@ def bundle_adjust_schur_dist(
             ei += 2
         if has_cam:
             cam_oh_l = eng[ei][0]
-
-        def total_cost(ps, pts_l):
-            local = _local_cost(ps, pts_l, k, obs_cam, obs_pt, obs_uv,
-                                obs_w, params, seg_oh_l, seg_ids_l,
-                                cam_oh_l)
-            return jax.lax.psum(local, axis)
-
-        def step(carry, _):
-            poses_c, points_c, lam, cost = carry
-            r, j_pose, j_pt = ba_mod._project_with_jacobians(
-                poses_c, points_c, k, obs_cam, obs_pt, obs_uv,
-                seg_oh=seg_oh_l, seg_ids=seg_ids_l, cam_oh=cam_oh_l,
-            )
-            sq = jnp.sum(r * r, axis=-1)
-            w = obs_w * LOSSES[params.loss](sq, params.loss_scale)
-            wj_pose = j_pose * w[:, None, None]
-            wj_pt = j_pt * w[:, None, None]
-
-            u_b = jnp.einsum("mki,mkj->mij", wj_pose, j_pose, precision=_HI)
-            v_b = jnp.einsum("mki,mkj->mij", wj_pt, j_pt, precision=_HI)
-            b_b = jnp.einsum("mki,mkj->mij", wj_pose, j_pt, precision=_HI)
-            gp_t = -jnp.einsum("mki,mk->mi", wj_pose, r, precision=_HI)
-            gx_t = -jnp.einsum("mki,mk->mi", wj_pt, r, precision=_HI)
-
-            u_partial = ba_mod._seg_sum_cam(u_b, obs_cam, p, cam_oh_l)
-            gp_partial = ba_mod._seg_sum_cam(gp_t, obs_cam, p, cam_oh_l)
-            # pose blocks need the cross-device sum (poses are shared)
-            U = jax.lax.psum(u_partial, axis)
-            g_p = jax.lax.psum(gp_partial, axis)
-            # point blocks are fully local (obs co-located with points)
-            V = ba_mod._seg_sum_pt(v_b, obs_pt, nl, seg_oh_l, seg_ids_l)
-            g_x = ba_mod._seg_sum_pt(gx_t, obs_pt, nl, seg_oh_l,
-                                     seg_ids_l)
-
-            eye3 = jnp.eye(3, dtype=jnp.float32)
-            v_damped = V + (lam * jnp.maximum(
-                jnp.diagonal(V, axis1=-2, axis2=-1), 1e-9))[..., None, :] * eye3
-            active = (~fixed_points_l) & bym.any(axis=1)
-            v_inv = jnp.where(
-                active[:, None, None],
-                inv3x3(v_damped + (~active)[:, None, None] * eye3),
-                0.0,
-            )
-            y_b = jnp.einsum(
-                "mij,mjk->mik", b_b,
-                ba_mod._expand_pt(v_inv, obs_pt, seg_oh_l, seg_ids_l),
-                precision=_HI)
-
-            rhs_terms = jnp.einsum(
-                "mij,mj->mi", y_b,
-                ba_mod._expand_pt(g_x, obs_pt, seg_oh_l, seg_ids_l),
-                precision=_HI)
-            rhs_partial = ba_mod._seg_sum_cam(rhs_terms, obs_cam, p,
-                                              cam_oh_l)
-            rhs_p = g_p - jax.lax.psum(rhs_partial, axis)
-
-            free = (~fixed_poses).astype(jnp.float32)
-            u_damped = U + (lam * jnp.maximum(
-                jnp.diagonal(U, axis1=-2, axis2=-1), 1e-9))[..., None, :] * jnp.eye(6, dtype=U.dtype)
-
-            if params.solver == "pcg":
-                # Fully-distributed matrix-free PCG: each CG step is
-                # local O(M/D) observation work + ONE psum of the (P, 6)
-                # product — the pod-scale path (no term of the program
-                # is replicated work that grows with P³).
-                from kornia_tpu.geometry.linalg import solve_unrolled
-
-                rhs_p2 = rhs_p * free[:, None]
-
-                def matvec(v):
-                    vf = v * free[:, None]
-                    t1 = jnp.einsum(
-                        "mij,mi->mj", b_b,
-                        ba_mod._expand_cam(vf, obs_cam, cam_oh_l),
-                        precision=_HI)
-                    t2 = ba_mod._seg_sum_pt(t1, obs_pt, nl,
-                                            seg_oh_l, seg_ids_l)
-                    t3 = jnp.einsum("nij,nj->ni", v_inv, t2,
-                                    precision=_HI)
-                    t4 = jnp.einsum(
-                        "mij,mj->mi", b_b,
-                        ba_mod._expand_pt(t3, obs_pt, seg_oh_l,
-                                          seg_ids_l),
-                        precision=_HI)
-                    sv_part = ba_mod._seg_sum_cam(t4, obs_cam, p,
-                                                  cam_oh_l)
-                    sv = (jnp.einsum("pij,pj->pi", u_damped, vf,
-                                     precision=_HI)
-                          - jax.lax.psum(sv_part, axis))
-                    return sv * free[:, None] + v * (1.0 - free[:, None])
-
-                eye6 = jnp.broadcast_to(
-                    jnp.eye(6, dtype=jnp.float32), (p, 6, 6))
-                m_blocks = jnp.where(free[:, None, None] > 0,
-                                     u_damped, eye6)
-                minv = solve_unrolled(m_blocks, eye6)
-
-                def apply_minv(r_):
-                    return jnp.einsum("pij,pj->pi", minv, r_,
-                                      precision=_HI)
-
-                x0 = jnp.zeros_like(rhs_p2)
-                r0 = rhs_p2
-                z0 = apply_minv(r0)
-                rz0 = jnp.sum(r0 * z0)
-
-                def cg_body(carry, _):
-                    x, r_, pk, rz = carry
-                    ap = matvec(pk)
-                    denom = jnp.sum(pk * ap)
-                    alive = (rz > 1e-20) & (denom > 1e-20)
-                    alpha = jnp.where(
-                        alive, rz / jnp.maximum(denom, 1e-20), 0.0)
-                    x = x + alpha * pk
-                    r_ = r_ - alpha * ap
-                    z = apply_minv(r_)
-                    rz_new = jnp.sum(r_ * z)
-                    beta = jnp.where(
-                        alive, rz_new / jnp.maximum(rz, 1e-20), 0.0)
-                    return (x, r_, z + beta * pk, rz_new), None
-
-                (dp, _, _, _), _ = jax.lax.scan(
-                    cg_body, (x0, r0, z0, rz0), None,
-                    length=params.cg_iters)
-                dp = dp * free[:, None]
-            else:
-                # MXU-shaped Schur reduction (same reformulation as
-                # optim/ba.py): per-(point, camera) aggregates Bc/Yc,
-                # then one (6P, 3Nl)·(3Nl, 6P) matmul — no
-                # (Nl, K, K, 6, 6) pairwise tensor, no giant scatter
-                ml = b_b.shape[0]
-                pair_key = obs_pt.astype(jnp.int32) * p + obs_cam
-                bc = jax.ops.segment_sum(
-                    b_b.reshape(ml, 18), pair_key, num_segments=nl * p
-                ).reshape(nl, p, 6, 3)
-                yc = jnp.einsum("npis,nst->npit", bc, v_inv,
-                                precision=_HI)
-                s_local = jnp.einsum("npis,nqjs->pqij", yc, bc,
-                                     precision=_HI)
-                # ONE collective for the reduced camera system
-                s = -jax.lax.psum(s_local, axis)
-                s = s.at[jnp.arange(p), jnp.arange(p)].add(u_damped)
-
-                s = s * free[:, None, None, None] * free[None, :, None, None]
-                s = s.at[jnp.arange(p), jnp.arange(p)].add(
-                    (1.0 - free)[:, None, None] * jnp.eye(6, dtype=s.dtype)
-                )
-                rhs = (rhs_p * free[:, None]).reshape(-1)
-                s_dense = s.transpose(0, 2, 1, 3).reshape(p * 6, p * 6)
-
-                # replicated dense Cholesky (identical on all devices)
-                l = jnp.linalg.cholesky(s_dense)
-                yv = jax.scipy.linalg.solve_triangular(l, rhs, lower=True)
-                dp = jax.scipy.linalg.solve_triangular(
-                    l.T, yv, lower=False).reshape(p, 6)
-                dp = dp * free[:, None]
-
-            # local point back-substitution
-            bt_dp = jnp.einsum(
-                "mij,mi->mj", b_b,
-                ba_mod._expand_cam(dp, obs_cam, cam_oh_l), precision=_HI)
-            acc = ba_mod._seg_sum_pt(bt_dp, obs_pt, nl, seg_oh_l,
-                                     seg_ids_l)
-            dx = jnp.einsum("nij,nj->ni", v_inv, g_x - acc, precision=_HI)
-            dx = dx * (~fixed_points_l)[:, None]
-
-            new_poses = lg.se3_retract(poses_c, dp)
-            new_points = points_c + dx
-            new_cost = total_cost(new_poses, new_points)
-            accept = new_cost < cost
-            poses_o = jnp.where(accept, new_poses, poses_c)
-            points_o = jnp.where(accept, new_points, points_c)
-            lam_o = jnp.clip(
-                jnp.where(accept, lam / params.lambda_factor, lam * params.lambda_factor),
-                1e-10, 1e8,
-            )
-            return (poses_o, points_o, lam_o, jnp.where(accept, new_cost, cost)), None
-
-        c0 = total_cost(poses, points_l)
-        (poses_f, points_f, lam_f, cost_f), _ = jax.lax.scan(
-            step,
-            (poses, points_l, jnp.asarray(params.lambda_init, jnp.float32), c0),
-            None, length=params.max_iterations,
-        )
+        poses_f, points_f, c0, cost_f = _lm_schur_loop(
+            poses, points_s[0], k, obs_cam_s[0], obs_pt_s[0],
+            obs_uv_s[0], obs_w_s[0], fixed_poses, fixed_points_s[0],
+            params, axis, seg_oh_l, seg_ids_l, cam_oh_l)
         return poses_f, points_f[None], c0, cost_f
 
     eng_args = []
     eng_specs = []
-    if sharded.seg_oh is not None:
+    if has_seg:
         eng_args += [sharded.seg_oh, sharded.seg_ids]
         eng_specs += [P(axis), P(axis)]
-    if sharded.cam_oh is not None:
+    if has_cam:
         eng_args += [sharded.cam_oh]
         eng_specs += [P(axis)]
 
@@ -411,7 +550,7 @@ def bundle_adjust_schur_dist(
         mesh=mesh,
         in_specs=(
             P(), P(axis), P(), P(axis), P(axis), P(axis), P(axis),
-            P(), P(axis), P(axis), P(axis), *eng_specs,
+            P(), P(axis), *eng_specs,
         ),
         out_specs=(P(), P(axis), P(), P()),
         check_vma=False,
@@ -419,8 +558,46 @@ def bundle_adjust_schur_dist(
     poses_f, points_sharded, c0, cost_f = fn(
         sharded.poses, sharded.points, sharded.k,
         sharded.obs_cam, sharded.obs_pt, sharded.obs_uv, sharded.obs_w,
-        sharded.fixed_poses, sharded.fixed_points,
-        sharded.obs_by_point, sharded.obs_by_point_mask, *eng_args,
+        sharded.fixed_poses, sharded.fixed_points, *eng_args,
+    )
+    points_full = points_sharded.reshape(-1, 3)[: sharded.n_points]
+    return BAResult(
+        poses=poses_f, points=points_full, initial_cost=c0, final_cost=cost_f,
+        iterations=jnp.asarray(params.max_iterations, jnp.int32),
+    )
+
+
+def bundle_adjust_schur_dist_kf(
+    sharded: KeyframeShardedBA, mesh: Mesh, params: BAParams = BAParams()
+) -> BAResult:
+    """Distributed BA from the *keyframe-sharded* layout: the program
+    first all_to_all's every observation from its producer (keyframe
+    owner) to its point's owner shard (parallel.exchange), then runs the
+    same LM-Schur loop — exchange → reduction fused into ONE SPMD
+    program (the north-star dataflow, SURVEY.md §5.7)."""
+    axis = mesh.axis_names[0]
+
+    def spmd(poses, points_s, k, s_cam, s_pt, s_uv, s_w,
+             fixed_poses, fixed_points_s):
+        cam, pt, uv, w = ex_mod.exchange_in_spmd(
+            s_cam, s_pt, s_uv, s_w, axis)
+        poses_f, points_f, c0, cost_f = _lm_schur_loop(
+            poses, points_s[0], k, cam[0], pt[0], uv[0], w[0],
+            fixed_poses, fixed_points_s[0], params, axis)
+        return poses_f, points_f[None], c0, cost_f
+
+    fn = shard_map(
+        spmd,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(), P(axis), P(axis), P(axis), P(axis),
+                  P(), P(axis)),
+        out_specs=(P(), P(axis), P(), P()),
+        check_vma=False,
+    )
+    poses_f, points_sharded, c0, cost_f = fn(
+        sharded.poses, sharded.points, sharded.k,
+        sharded.send_cam, sharded.send_pt, sharded.send_uv,
+        sharded.send_w, sharded.fixed_poses, sharded.fixed_points,
     )
     points_full = points_sharded.reshape(-1, 3)[: sharded.n_points]
     return BAResult(

@@ -89,6 +89,25 @@ def build_exchange_plan(
         obs_uv=jnp.asarray(uv_b), obs_w=jnp.asarray(w_b), bucket=bucket)
 
 
+def exchange_in_spmd(cam, pt, uv, w, axis: str = OBS_AXIS):
+    """The ragged all_to_all, for use INSIDE an enclosing ``shard_map``
+    (e.g. fused into the distributed-BA program, ba_dist).
+
+    Inputs are this shard's send rows as ``shard_map`` blocks
+    (1, D, B, ...); returns the received rows (1, D·B, ...) —
+    observations whose points this shard owns, concatenated over source
+    shards in deterministic source order. Padding rows keep weight 0.
+    """
+
+    def a2a(x):
+        y = jax.lax.all_to_all(
+            x, axis, split_axis=1, concat_axis=0, tiled=False)
+        # y: (D, 1, B, ...) — sources stacked on axis 0
+        return y.reshape((-1,) + y.shape[3:])[None]
+
+    return a2a(cam), a2a(pt), a2a(uv), a2a(w)
+
+
 def exchange_observations(
     plan: ExchangePlan, mesh: Mesh
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
@@ -101,15 +120,7 @@ def exchange_observations(
     """
 
     def spmd(cam, pt, uv, w):
-        # in: (1, D, B, ...) — this shard's send rows. all_to_all swaps
-        # the shard axis with the dst axis → (D, B) rows received.
-        def a2a(x):
-            y = jax.lax.all_to_all(
-                x, OBS_AXIS, split_axis=1, concat_axis=0, tiled=False)
-            # y: (D, 1, B, ...) — sources stacked on axis 0
-            return y.reshape((-1,) + y.shape[3:])[None]
-
-        return a2a(cam), a2a(pt), a2a(uv), a2a(w)
+        return exchange_in_spmd(cam, pt, uv, w)
 
     fn = shard_map(
         spmd, mesh=mesh,
