@@ -13,7 +13,7 @@ from __future__ import annotations
 import sys
 
 sys.path.insert(0, ".")
-from examples._common import base_parser, configure_backend
+from examples._common import base_parser, configure_backend, make_mesh
 
 
 def run_tum(args):
@@ -25,7 +25,7 @@ def run_tum(args):
 
     ds = kio.TumRgbdDataset(args.tum)
     k = np.array([[525.0, 0, 319.5], [0, 525.0, 239.5], [0, 0, 1]])
-    sys_ = slam.MonocularSlam(k, slam.SlamConfig())
+    sys_ = slam.MonocularSlam(k, slam.SlamConfig(), mesh=make_mesh(args))
     n = min(len(ds), args.max_frames)
     for i in range(n):
         fr = ds[i]
@@ -68,7 +68,12 @@ def run_synthetic(args):
         min_init_matches=30, keyframe_min_tracked_ratio=0.95,
         keyframe_min_interval=1, ba_window=4,
         loop_min_kf_gap=8, loop_min_score=0.10, loop_min_matches=15)
-    sys_ = slam.MonocularSlam(K, cfg, vocabulary=vocab)
+    mesh = make_mesh(args)
+    if mesh is not None:
+        print(f"distributed mode: {mesh.devices.size}-device mesh "
+              f"(global BA = keyframe-sharded exchange -> psum'd Schur; "
+              f"PGO = edge-sharded Gauss-Newton)")
+    sys_ = slam.MonocularSlam(K, cfg, vocabulary=vocab, mesh=mesh)
     for i in range(n_frames + 3):
         pose = gt[i % n_frames]
         xy, d, _ = _observe(pts, desc, pose, K, 0.3, rng)
@@ -94,6 +99,10 @@ def main():
     p = base_parser(__doc__)
     p.add_argument("--tum", default=None, help="TUM RGB-D directory")
     p.add_argument("--max-frames", type=int, default=200)
+    p.add_argument("--mesh", type=int, default=0, metavar="N",
+                   help="run map-wide refinement distributed over an "
+                        "N-device mesh (with --cpu: N virtual host "
+                        "devices)")
     args = p.parse_args()
     configure_backend(args)
     if args.tum:

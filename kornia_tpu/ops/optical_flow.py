@@ -280,17 +280,151 @@ def _track_level_batch_win(prev: jax.Array, nxt: jax.Array,
     return d, ok & inside, err
 
 
+# ---------------------------------------------------------------------
+# taps formulation: re-extract (win+1)-row windows at the CURRENT
+# integer estimate every Newton iteration (the Pallas extractor costs
+# ~15 µs per 1024 windows — cheaper than one per-point one-hot matmul
+# resample), so the subpixel resample degenerates to a 4-tap weighted
+# sum of STATIC window slices. No per-point matmuls anywhere, and no
+# drift-margin cap: the window follows the estimate.
+_TAPS_H = 24     # extraction rows (win + 1 <= 24, 8-aligned)
+_TAPS_M = 8      # placement margin: patch top-lefts down to -8 px stay
+#                  inside the extractor's edge-replicated pad instead of
+#                  getting clamp-shifted (coarse pyramid levels put
+#                  near-border points there)
+_TAPS_CX = 64    # extraction col offset (extractor contract)
+
+
+def _prepare_taps_source(img: jax.Array):
+    """One-time pad of a frame for repeated taps extraction (the Newton
+    loop re-extracts every iteration; the pads must not be in it)."""
+    if jax.default_backend() == "tpu":
+        from kornia_tpu.ops.pallas_kernels import prepare_window_source
+
+        return prepare_window_source(img, _TAPS_H, _TAPS_M, _TAPS_CX), \
+            img.shape
+    pad = jnp.pad(img, ((_TAPS_M, _TAPS_H - _TAPS_M),
+                        (_TAPS_CX, 128 - _TAPS_CX)), mode="edge")
+    return pad, img.shape
+
+
+def _extract_taps_windows(prepared, center: jax.Array) -> jax.Array:
+    """(N, 24, 128) edge-replicated windows; window (row r, col c) holds
+    the image pixel (center.y + r - _TAPS_M, center.x + c - _TAPS_CX)."""
+    pad, shape = prepared
+    if jax.default_backend() == "tpu":
+        from kornia_tpu.ops.pallas_kernels import extract_windows_prepared
+
+        return extract_windows_prepared(pad, shape, center, _TAPS_H)
+
+    def one(c):
+        return jax.lax.dynamic_slice(pad, (c[1], c[0]), (_TAPS_H, 128))
+
+    return jax.vmap(one)(center)
+
+
+def _four_tap(w: jax.Array, f: jax.Array, win: int) -> jax.Array:
+    """(N, win, win) bilinear patches from taps windows whose patch
+    top-left sits at window (row 0, col _TAPS_CX - _TAPS_M) +
+    fractional ``f`` (windows are extracted at center = top-left +
+    margin, so row 0 is the top-left row)."""
+    fx = f[:, 0][:, None, None]
+    fy = f[:, 1][:, None, None]
+    c = _TAPS_CX - _TAPS_M
+    w00 = w[:, 0:win, c: c + win]
+    w01 = w[:, 0:win, c + 1: c + win + 1]
+    w10 = w[:, 1: win + 1, c: c + win]
+    w11 = w[:, 1: win + 1, c + 1: c + win + 1]
+    return ((1 - fy) * ((1 - fx) * w00 + fx * w01)
+            + fy * ((1 - fx) * w10 + fx * w11))
+
+
+def _track_level_batch_taps(prev: jax.Array, nxt: jax.Array,
+                            gx: jax.Array, gy: jax.Array,
+                            pts: jax.Array, guess: jax.Array,
+                            params: PyrLKParams):
+    """All points, one level, taps formulation: per-iteration window
+    re-extraction + static-slice 4-tap resampling."""
+    win = params.window
+    h, w = prev.shape
+    half = (win - 1) / 2.0
+    lim = jnp.asarray([w - 1, h - 1], jnp.int32)
+
+    def tl_frac(target):
+        """(extraction center, fractional offset) for a patch whose
+        top-left lands at target - half. Top-lefts down to -_TAPS_M ride
+        the edge-replicated margin un-shifted; beyond that the clamp
+        shifts placement (same corridor as the windows method)."""
+        base = target - half
+        cen = jnp.clip(jnp.floor(base).astype(jnp.int32) + _TAPS_M,
+                       0, lim)
+        f = jnp.clip(base - (cen - _TAPS_M).astype(jnp.float32),
+                     0.0, 1.0)
+        return cen, f
+
+    tl_t, f_t = tl_frac(pts)
+    ip = _four_tap(_extract_taps_windows(_prepare_taps_source(prev),
+                                         tl_t), f_t, win)
+    ix = _four_tap(_extract_taps_windows(_prepare_taps_source(gx),
+                                         tl_t), f_t, win)
+    iy = _four_tap(_extract_taps_windows(_prepare_taps_source(gy),
+                                         tl_t), f_t, win)
+    nxt_src = _prepare_taps_source(nxt)
+
+    a11 = jnp.sum(ix * ix, axis=(1, 2))
+    a12 = jnp.sum(ix * iy, axis=(1, 2))
+    a22 = jnp.sum(iy * iy, axis=(1, 2))
+    det = a11 * a22 - a12 * a12
+    tr = a11 + a22
+    min_eig = (tr - jnp.sqrt(jnp.maximum(tr * tr - 4 * det, 0.0))) / 2.0
+    ok = min_eig / (win * win) > params.min_eig_threshold
+    inv_det = jnp.where(det > 1e-12, 1.0 / det, 0.0)
+
+    def sample_j(d):
+        tl_j, f_j = tl_frac(pts + guess + d)
+        return _four_tap(_extract_taps_windows(nxt_src, tl_j), f_j, win)
+
+    def cond(carry):
+        _, done, it = carry
+        return jnp.logical_not(jnp.all(done)) & (it < params.max_iters)
+
+    def body(carry):
+        d, done, it = carry
+        diff = ip - sample_j(d)
+        b1 = jnp.sum(diff * ix, axis=(1, 2))
+        b2 = jnp.sum(diff * iy, axis=(1, 2))
+        du = (a22 * b1 - a12 * b2) * inv_det
+        dv = (a11 * b2 - a12 * b1) * inv_det
+        step = jnp.stack([du, dv], axis=1)
+        d = jnp.where(done[:, None], d, d + step)
+        done = done | (jnp.sum(step * step, axis=1)
+                       < params.eps * params.eps)
+        return d, done, it + 1
+
+    d0 = jnp.zeros_like(pts)
+    d, _, _ = jax.lax.while_loop(
+        cond, body, (d0, jnp.logical_not(ok), jnp.int32(0)))
+    err = jnp.mean(jnp.abs(ip - sample_j(d)), axis=(1, 2))
+    end = pts + guess + d
+    inside = ((end[:, 0] >= 0) & (end[:, 0] <= w - 1)
+              & (end[:, 1] >= 0) & (end[:, 1] <= h - 1))
+    return d, ok & inside, err
+
+
 # Largest params.window the fixed (48, 64) extraction window serves
 # with a useful Newton-drift budget (±(48-win)/2-1 rows). Bigger
 # windows fall back to the gather formulation — correct at any size.
 _LKW_MAX_WIN = 27
+# Largest window the 24-row taps extraction serves (win + 1 rows and
+# _TAPS_CX + win + 1 <= 128 cols).
+_TAPS_MAX_WIN = _TAPS_H - 1
 
 
 def _default_method() -> str:
     env = os.environ.get("KORNIA_TPU_LK", "")
-    if env in ("gather", "windows"):
+    if env in ("gather", "windows", "taps"):
         return env
-    return "windows" if jax.default_backend() == "tpu" else "gather"
+    return "taps" if jax.default_backend() == "tpu" else "gather"
 
 
 def _resolve_method(method: str, window: int) -> str:
@@ -298,10 +432,13 @@ def _resolve_method(method: str, window: int) -> str:
 
     Runs OUTSIDE jit so the KORNIA_TPU_LK env override takes effect on
     every call (a trace-time read would be cached under the 'auto'
-    key). ``windows`` silently clamps sampling beyond the extraction
-    window, so windows larger than _LKW_MAX_WIN route to gather."""
+    key). ``windows``/``taps`` silently clamp sampling beyond their
+    extraction windows, so oversized requests route down the chain
+    (taps → windows → gather, whose results are exact at any size)."""
     if method == "auto":
         method = _default_method()
+    if method == "taps" and window > _TAPS_MAX_WIN:
+        method = "windows"
     if method == "windows" and window > _LKW_MAX_WIN:
         return "gather"
     return method
@@ -362,7 +499,12 @@ def calc_optical_flow_pyr_lk_with_precomputed(
     for lvl in range(n_levels - 1, -1, -1):
         scale = 2.0 ** lvl
         pts_lvl = points / scale
-        if method == "windows":
+        if method == "taps":
+            d, ok, err = _track_level_batch_taps(
+                pre.prev_levels[lvl], pre.next_levels[lvl],
+                pre.gx_levels[lvl], pre.gy_levels[lvl],
+                pts_lvl, flow, params)
+        elif method == "windows":
             d, ok, err = _track_level_batch_win(
                 pre.prev_levels[lvl], pre.next_levels[lvl],
                 pre.gx_levels[lvl], pre.gy_levels[lvl],

@@ -232,19 +232,35 @@ def extract_windows_pallas(img_f: jax.Array, xy_int: jax.Array,
     """
     if win_w != 128:
         raise ValueError("extract_windows_pallas requires win_w == 128")
+    pad = prepare_window_source(img_f, win_h, cy_off, cx_off)
+    return extract_windows_prepared(pad, img_f.shape, xy_int, win_h)
+
+
+def prepare_window_source(img_f: jax.Array, win_h: int = 48,
+                          cy_off: int = 24, cx_off: int = 64) -> jax.Array:
+    """Edge-replicate + align-pad a frame for window extraction.
+
+    Split out of :func:`extract_windows_pallas` so callers that extract
+    repeatedly from the SAME frame (the LK Newton loop re-extracts every
+    iteration) pay the two pads once instead of per call."""
     h, w = img_f.shape
+    pad = jnp.pad(img_f.astype(jnp.float32),
+                  ((cy_off, win_h - cy_off), (cx_off, 128 - cx_off)),
+                  mode="edge")
+    w_pad = max(_round_up(w + 128, 128),
+                ((w - 1) // 128) * 128 + 256)
+    h_pad = max(h + win_h, ((h - 1) // 8) * 8 + win_h + 8)
+    return jnp.pad(pad, ((0, h_pad - pad.shape[0]),
+                         (0, w_pad - pad.shape[1])))
+
+
+def extract_windows_prepared(pad: jax.Array, img_shape, xy_int: jax.Array,
+                             win_h: int = 48) -> jax.Array:
+    """Window extraction from a :func:`prepare_window_source` buffer."""
+    h, w = img_shape
     k = xy_int.shape[0]
     grp = 8
     k_pad = _round_up(max(k, grp), grp)
-
-    pad = jnp.pad(img_f.astype(jnp.float32),
-                  ((cy_off, win_h - cy_off), (cx_off, win_w - cx_off)),
-                  mode="edge")
-    w_pad = max(_round_up(w + win_w, 128),
-                ((w - 1) // 128) * 128 + 256)
-    h_pad = max(h + win_h, ((h - 1) // 8) * 8 + win_h + 8)
-    pad = jnp.pad(pad, ((0, h_pad - pad.shape[0]),
-                        (0, w_pad - pad.shape[1])))
 
     xy = jnp.clip(xy_int, 0, np.asarray([w - 1, h - 1], np.int32))
     if k_pad != k:

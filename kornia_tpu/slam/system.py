@@ -41,6 +41,11 @@ from kornia_tpu.optim import pgo as pgo_mod
 from kornia_tpu.bow import BowDatabase, Vocabulary
 from kornia_tpu.slam.map import SlamMap
 
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:  # pragma: no cover
+    from jax.sharding import Mesh
+
 
 class TrackingState(Enum):
     INITIALIZING = "initializing"
@@ -62,6 +67,8 @@ class SlamConfig:
     keyframe_min_interval: int = 3
     ba_window: int = 5
     ba_iterations: int = 10
+    global_ba_iterations: int = 12
+    global_ba_on_loop: bool = True
     loop_min_score: float = 0.25
     loop_min_kf_gap: int = 10
     loop_min_matches: int = 20
@@ -164,9 +171,17 @@ class MonocularSlam:
     """Monocular SLAM/VO pipeline over a pinhole camera."""
 
     def __init__(self, k: np.ndarray, config: SlamConfig = SlamConfig(),
-                 vocabulary: Optional[Vocabulary] = None):
+                 vocabulary: Optional[Vocabulary] = None,
+                 mesh: Optional["Mesh"] = None):
+        """``mesh``: optional ``jax.sharding.Mesh`` — when given (and it
+        spans >1 device), map-wide refinement runs the *distributed*
+        path: keyframe-sharded observations all_to_all'd to point-owner
+        shards feeding the psum'd Schur BA (parallel.ba_dist), and PGO
+        over edge shards (parallel.pgo_dist). The north-star config-5
+        composition (BASELINE.json; SURVEY.md §7 phase 6-7)."""
         self.k = np.asarray(k, np.float64)
         self.config = config
+        self.mesh = mesh
         self.map = SlamMap()
         self.state = TrackingState.INITIALIZING
         self.results: List[FrameResult] = []
@@ -405,9 +420,33 @@ class MonocularSlam:
     def _local_ba(self) -> None:
         cfg = self.config
         kf_ids = [kf.kf_id for kf in self.map.keyframes[-cfg.ba_window:]]
+        self._bundle_adjust(kf_ids, cfg.ba_iterations, distributed=False)
+
+    def global_ba(self, iterations: Optional[int] = None,
+                  distributed: Optional[bool] = None) -> bool:
+        """Full-map BA over the ENTIRE keyframe graph (reference
+        capability ba.rs:646 bundle_adjust; VERDICT.md round-2 item 2).
+        Beyond ~400 poses the auto solver switches from dense Cholesky
+        to the block-Jacobi PCG reduced-system solve — the regime this
+        method exists for. With a mesh (and ``distributed`` not False)
+        it runs the keyframe-sharded exchange → psum'd-Schur program
+        (parallel.ba_dist.bundle_adjust_schur_dist_kf).
+
+        Returns True if an update was applied."""
+        if iterations is None:
+            iterations = self.config.global_ba_iterations
+        if distributed is None:
+            distributed = (self.mesh is not None
+                           and self.mesh.devices.size > 1)
+        kf_ids = [kf.kf_id for kf in self.map.keyframes]
+        return self._bundle_adjust(kf_ids, iterations,
+                                   distributed=distributed)
+
+    def _bundle_adjust(self, kf_ids, iterations: int,
+                       distributed: bool) -> bool:
         cams, pts_local, uvs, used = self.map.observations_for_ba(kf_ids)
         if len(used) < 8 or len(uvs) < 16:
-            return
+            return False
         poses = np.stack([self.map.keyframes[i].pose for i in kf_ids])
         fixed = np.zeros(len(kf_ids), bool)
         fixed[0] = True
@@ -435,19 +474,28 @@ class MonocularSlam:
             self.k.astype(np.float32), cams_b, pts_local_b, uvs_b,
             obs_w=obs_w, fixed_poses=fixed, fixed_points=fixed_pts,
             max_obs_per_point=k_b)
-        result = ba_mod.bundle_adjust_schur(
-            problem, ba_mod.BAParams(max_iterations=cfg.ba_iterations,
-                                     loss="huber", loss_scale=2.0))
+        params = ba_mod.BAParams(max_iterations=iterations,
+                                 loss="huber", loss_scale=2.0)
+        if distributed and self.mesh is not None:
+            from kornia_tpu.parallel import ba_dist
+
+            sharded = ba_dist.shard_problem_by_keyframe(
+                problem, self.mesh.devices.size)
+            result = ba_dist.bundle_adjust_schur_dist_kf(
+                sharded, self.mesh, params)
+        else:
+            result = ba_mod.bundle_adjust_schur(problem, params)
         new_poses = np.asarray(result.poses, np.float64)
         new_points = np.asarray(result.points, np.float64)[:n_used]
         if not (np.isfinite(new_poses).all()
                 and np.isfinite(new_points).all()):
-            return
+            return False
         for i, kf_id in enumerate(kf_ids):
             self.map.keyframes[kf_id].pose = new_poses[i]
         self.map.point_xyz[used] = new_points
         if self.map.keyframes:
             self._last_pose = self.map.keyframes[-1].pose.copy()
+        return True
 
     # -------------------------------------------------------- loop closure
     def _register_bow(self, kf) -> None:
@@ -495,7 +543,31 @@ class MonocularSlam:
             corrected = np.concatenate([q_, t_])
             rel = self._relative_pose(old.pose, corrected)
             self.map.add_edge(old.kf_id, kf.kf_id, rel, weight=5.0)
+            # fuse the loop into the OBSERVATION graph too: each PnP
+            # inlier says "this new-frame feature observes that old map
+            # point" — without these, global BA would see no loop
+            # constraint at all (only the pose-graph edge PGO uses) and
+            # could flex the trajectory back toward its drifted shape.
+            inl_m = np.asarray(inliers)[: len(mm)]
+            for (fi_old, fi_new), ok in zip(mm, inl_m):
+                old_pid = int(old.point_ids[fi_old])
+                if not ok or old_pid < 0:
+                    continue
+                cur = int(kf.point_ids[fi_new])
+                if cur < 0:
+                    self.map.add_observation(old_pid, kf.kf_id,
+                                             int(fi_new))
+                elif cur != old_pid:
+                    # duplicate map point created during the drifted
+                    # revisit — merge it into the older point
+                    self._merge_points(old_pid, cur)
             self._run_pgo()
+            # PGO + the rigid point-drag only re-hang the map on the
+            # corrected skeleton; full-map BA then jointly refines every
+            # pose AND point over the whole keyframe graph (reference
+            # ba.rs:646 capability; VERDICT.md round-2 item 2).
+            if cfg.global_ba_on_loop:
+                self.global_ba()
             return old.kf_id
         return None
 
@@ -519,11 +591,20 @@ class MonocularSlam:
             [e[2] for e in self.map.edges])
         w = np.zeros(e_b, np.float32)
         w[: len(self.map.edges)] = [e[3] for e in self.map.edges]
-        result = pgo_mod.pose_graph_optimize(
-            jnp.asarray(poses_pad, jnp.float32), ei, ej,
-            jnp.asarray(meas, jnp.float32), jnp.asarray(w),
-            fixed=jnp.asarray(fixed),
-            params=pgo_mod.PGOParams(max_iterations=15))
+        params = pgo_mod.PGOParams(max_iterations=15)
+        if self.mesh is not None and self.mesh.devices.size > 1:
+            from kornia_tpu.parallel import pgo_dist
+
+            sharded = pgo_dist.shard_pgo(
+                poses_pad.astype(np.float32), ei, ej, meas, w,
+                fixed=fixed, n_devices=self.mesh.devices.size)
+            result = pgo_dist.pose_graph_optimize_dist(
+                sharded, self.mesh, params)
+        else:
+            result = pgo_mod.pose_graph_optimize(
+                jnp.asarray(poses_pad, jnp.float32), ei, ej,
+                jnp.asarray(meas, jnp.float32), jnp.asarray(w),
+                fixed=jnp.asarray(fixed), params=params)
         new_poses = np.asarray(result.poses, np.float64)[: len(kfs)]
         if not np.isfinite(new_poses).all():
             return
@@ -546,6 +627,15 @@ class MonocularSlam:
             self.map.point_xyz[sel] = np.asarray(moved, np.float64)
 
     # ------------------------------------------------------------ helpers
+    def _merge_points(self, keep: int, dup: int) -> None:
+        """Fuse map point ``dup`` into ``keep`` (loop-closure duplicate):
+        re-point every observation and keyframe slot, invalidate dup."""
+        for kf_id, fi in self.map.point_obs[dup]:
+            self.map.keyframes[kf_id].point_ids[fi] = keep
+            self.map.point_obs[keep].append((kf_id, fi))
+        self.map.point_obs[dup] = []
+        self.map.point_valid[dup] = False
+
     @staticmethod
     def _relative_pose(pose_i: np.ndarray, pose_j: np.ndarray) -> np.ndarray:
         """rel with pose_j = rel ∘ pose_i (both world→camera)."""

@@ -163,6 +163,164 @@ class TestMonocularVO:
         assert any(w > 1.0 for *_xx, w in sys_.map.edges)
 
 
+def _kf_ate(sys_, gt, n_frames):
+    """ATE RMSE of keyframe camera centers vs ground truth."""
+    kf_frames = [kf.frame_idx for kf in sys_.map.keyframes]
+    est_c = np.stack([
+        np.asarray(lg.se3_inverse(jnp.asarray(kf.pose, jnp.float32)))[4:7]
+        for kf in sys_.map.keyframes])
+    gt_c = np.stack([
+        np.asarray(lg.se3_inverse(jnp.asarray(
+            gt[i % n_frames], jnp.float32)))[4:7] for i in kf_frames])
+    return slam.absolute_trajectory_error(est_c, gt_c).rmse
+
+
+def _reproj_rms(sys_):
+    """Map-wide reprojection RMS over every stored observation."""
+    k = sys_.k
+    errs = []
+    for pid in range(sys_.map.n_points):
+        if not sys_.map.point_valid[pid]:
+            continue
+        p = sys_.map.point_xyz[pid]
+        for kf_id, fi in sys_.map.point_obs[pid]:
+            kf = sys_.map.keyframes[kf_id]
+            cam = np.asarray(lg.se3_apply(
+                jnp.asarray(kf.pose, jnp.float32)[None],
+                jnp.asarray(p[None], jnp.float32)), np.float64)[0]
+            if cam[2] < 1e-6:
+                continue
+            uv = cam[:2] / cam[2] * [k[0, 0], k[1, 1]] + [k[0, 2], k[1, 2]]
+            errs.append(np.linalg.norm(uv - kf.xy[fi]))
+    return float(np.sqrt(np.mean(np.square(errs))))
+
+
+class TestGlobalBA:
+    """VERDICT.md round-2 item 2: full-map BA after loop closure."""
+
+    def _run_loop_scenario(self, seed, **cfg_over):
+        rng = np.random.default_rng(seed)
+        pts, desc = _make_scene(rng, 900)
+        n_frames = 40
+        gt = _camera_poses_circle(n_frames, full=1.0)
+        vocab = Vocabulary.build(desc, k=8, depth=3, seed=1)
+        cfg = slam.SlamConfig(
+            min_init_matches=30, keyframe_min_tracked_ratio=0.95,
+            keyframe_min_interval=1, ba_window=4,
+            loop_min_kf_gap=8, loop_min_score=0.10, loop_min_matches=15,
+            **cfg_over)
+        sys_ = slam.MonocularSlam(K, cfg, vocabulary=vocab)
+        for i in range(n_frames + 3):
+            xy, d, _ = _observe(pts, desc, gt[i % n_frames], K, 0.3, rng)
+            sys_.process_observations(xy, d)
+        return sys_, gt, n_frames
+
+    def test_global_ba_beats_pgo_only(self):
+        """After a loop closure, map-wide BA must leave the map strictly
+        more consistent than the PGO-only correction (reprojection RMS)
+        and no worse in ATE."""
+        sys_, gt, n_frames = self._run_loop_scenario(
+            11, global_ba_on_loop=False)
+        assert any(r.loop_closed_with is not None for r in sys_.results)
+        ate_pgo = _kf_ate(sys_, gt, n_frames)
+        rms_pgo = _reproj_rms(sys_)
+        assert sys_.global_ba()
+        ate_gba = _kf_ate(sys_, gt, n_frames)
+        rms_gba = _reproj_rms(sys_)
+        assert rms_gba < rms_pgo * 0.6, (rms_pgo, rms_gba)
+        assert ate_gba < ate_pgo * 0.9, (ate_pgo, ate_gba)
+
+    def test_loop_closure_runs_global_ba_by_default(self):
+        sys_, gt, n_frames = self._run_loop_scenario(11)
+        assert any(r.loop_closed_with is not None for r in sys_.results)
+        # the post-closure map must already be BA-consistent
+        assert _reproj_rms(sys_) < 1.0
+
+    def test_global_ba_distributed_matches_single_host(self):
+        """MonocularSlam's distributed global-BA mode (keyframe-sharded
+        exchange → psum'd Schur, parallel.ba_dist) must match the
+        single-host path to f32 tolerance (VERDICT.md item 1a)."""
+        import jax
+        from jax.sharding import Mesh
+
+        sys_, gt, n_frames = self._run_loop_scenario(
+            11, global_ba_on_loop=False)
+        snap_poses = [kf.pose.copy() for kf in sys_.map.keyframes]
+        snap_pts = sys_.map.point_xyz.copy()
+
+        assert sys_.global_ba(distributed=False)
+        single_poses = np.stack([kf.pose for kf in sys_.map.keyframes])
+        single_pts = sys_.map.point_xyz.copy()
+
+        for kf, p in zip(sys_.map.keyframes, snap_poses):
+            kf.pose = p.copy()
+        sys_.map.point_xyz = snap_pts.copy()
+        sys_.mesh = Mesh(np.asarray(jax.devices()[:8]), ("obs",))
+        assert sys_.global_ba(distributed=True)
+        dist_poses = np.stack([kf.pose for kf in sys_.map.keyframes])
+
+        np.testing.assert_allclose(dist_poses, single_poses, atol=5e-3)
+        np.testing.assert_allclose(
+            sys_.map.point_xyz, single_pts, atol=2e-2)
+
+
+def _build_synthetic_map(rng, n_kf, n_points, obs_per_kf=40,
+                         pose_noise=0.01, point_noise=0.05,
+                         px_noise=0.3):
+    """Construct a SlamMap directly (bypassing tracking) at a chosen
+    scale; returns (map, gt_poses)."""
+    gt = _camera_poses_circle(n_kf)
+    pts, desc = _make_scene(rng, n_points)
+    m = slam.SlamMap()
+    obs_lists = [[] for _ in range(n_points)]
+    for i in range(n_kf):
+        xy, _, ids = _observe(pts, desc, gt[i], K, px_noise, rng)
+        if len(ids) > obs_per_kf:
+            sel = rng.choice(len(ids), obs_per_kf, replace=False)
+            xy, ids = xy[sel], ids[sel]
+        # perturbed initial pose
+        tang = np.concatenate([rng.normal(0, pose_noise, 3),
+                               rng.normal(0, pose_noise / 3, 3)])
+        pose = np.asarray(lg.se3_retract(
+            jnp.asarray(gt[i], jnp.float32)[None],
+            jnp.asarray(tang, jnp.float32)[None]), np.float64)[0]
+        if i < 2:
+            pose = gt[i].copy()  # gauge anchors stay exact
+        kf = m.add_keyframe(i, pose, xy, np.zeros((len(xy), 32), np.uint8))
+        for row, pid in enumerate(ids):
+            obs_lists[pid].append((i, row))
+    keep = [p for p in range(n_points) if len(obs_lists[p]) >= 2]
+    pid_of = {}
+    for p in keep:
+        pid_of[p] = None
+    noisy = pts[keep] + rng.normal(0, point_noise, (len(keep), 3))
+    pids = m.add_points(noisy, np.zeros((len(keep), 32), np.uint8),
+                        [obs_lists[p] for p in keep])
+    for new_id, p in zip(pids, keep):
+        for kf_id, row in obs_lists[p]:
+            m.keyframes[kf_id].point_ids[row] = new_id
+    return m, gt
+
+
+class TestGlobalBA600:
+    @pytest.mark.slow
+    def test_600_pose_class_pcg(self):
+        """global_ba at the Ceres DENSE_SCHUR-class scale the PCG solver
+        exists for (auto solver switches to PCG above 400 poses)."""
+        rng = np.random.default_rng(7)
+        n_kf = 600
+        m, gt = _build_synthetic_map(rng, n_kf, 2500, obs_per_kf=30)
+        sys_ = slam.MonocularSlam(K, slam.SlamConfig())
+        sys_.map = m
+        rms_before = _reproj_rms(sys_)
+        ate_before = _kf_ate(sys_, gt, n_kf)
+        assert sys_.global_ba(iterations=8)
+        rms_after = _reproj_rms(sys_)
+        ate_after = _kf_ate(sys_, gt, n_kf)
+        assert rms_after < rms_before * 0.5, (rms_before, rms_after)
+        assert ate_after < ate_before, (ate_before, ate_after)
+
+
 class TestCheckpoint:
     def test_roundtrip(self, rng, tmp_path):
         pts, desc = _make_scene(rng, 600)
