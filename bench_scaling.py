@@ -84,20 +84,34 @@ def main():
           f"{problem.points.shape[0]} points, {n_obs} obs", file=sys.stderr)
 
     results = {}
-    for solver in ("pcg", "dense"):
+    collectives = {}
+    for solver in ("pcg", "dense", "kf"):
+        # "kf" = the north-star keyframe-sharded layout: in-program
+        # exchange → static sort → psum'd Schur (bundle_adjust_schur
+        # _dist_kf); dense solve so the collective budget is the
+        # 2/LM-iter contract
+        base_solver = "dense" if solver == "kf" else solver
         sp = ba_mod.BAParams(max_iterations=10, loss="huber",
-                             loss_scale=2.0, solver=solver, cg_iters=40)
+                             loss_scale=2.0, solver=base_solver,
+                             cg_iters=40)
         for d in (1, 2, 4, 8):
             if d > len(devices):
                 break
             mesh = Mesh(np.asarray(devices[:d]), (OBS_AXIS,))
-            sharded = ba_dist.shard_problem(problem, d)
-            r = ba_dist.bundle_adjust_schur_dist(sharded, mesh, sp)
+            if solver == "kf":
+                sharded = ba_dist.shard_problem_by_keyframe(problem, d)
+                run = lambda: ba_dist.bundle_adjust_schur_dist_kf(
+                    sharded, mesh, sp)
+            else:
+                sharded = ba_dist.shard_problem(problem, d)
+                run = lambda: ba_dist.bundle_adjust_schur_dist(
+                    sharded, mesh, sp)
+            r = run()
             jax.block_until_ready(r.final_cost)
             times = []
             for _ in range(2):
                 t0 = time.perf_counter()
-                r = ba_dist.bundle_adjust_schur_dist(sharded, mesh, sp)
+                r = run()
                 jax.block_until_ready(r.final_cost)
                 times.append(time.perf_counter() - t0)
             dt = min(times)
@@ -115,11 +129,33 @@ def main():
                   f"{base/max(iters_per_s,1e-9):.2f})",
                   file=sys.stderr)
             assert float(r.final_cost) <= float(r.initial_cost)
+        # the collective budget, measured from the compiled HLO at D=8
+        # (the LM loop body appears once in the module; the psum
+        # contract is all-reduce count per iteration)
+        d = min(8, len(devices))
+        mesh = Mesh(np.asarray(devices[:d]), (OBS_AXIS,))
+        if solver == "kf":
+            sharded = ba_dist.shard_problem_by_keyframe(problem, d)
+            fn = lambda: ba_dist.bundle_adjust_schur_dist_kf(
+                sharded, mesh, sp)
+        else:
+            sharded = ba_dist.shard_problem(problem, d)
+            fn = lambda: ba_dist.bundle_adjust_schur_dist(
+                sharded, mesh, sp)
+        hlo = jax.jit(fn).lower().compile().as_text()
+        counts = {op: hlo.count(f" {op}(") + hlo.count(f" {op}-start(")
+                  for op in ("all-reduce", "all-to-all",
+                             "collective-permute", "all-gather")}
+        collectives[solver] = counts
+        print(f"# {solver} compiled collectives (D={d}): {counts}",
+              file=sys.stderr)
 
     print(json.dumps({
         "metric": "ba_iters_per_sec_by_devices",
         "value": {k: round(v, 2) for k, v in results.items()},
         "unit": "iters/s",
+        "collectives_at_d8": collectives,
+        "lm_iters": 10,
     }))
 
 

@@ -85,6 +85,13 @@ class BAProblem(NamedTuple):
     seg_oh: Optional[jax.Array] = None    # (n_tiles, _SEG_T, _SEG_S) f32
     seg_ids: Optional[jax.Array] = None   # (n_tiles * _SEG_S,) int32
     cam_oh: Optional[jax.Array] = None    # (P, M) f32
+    # per-pose translation priors (reference BaPosePrior, ba.rs:107 /
+    # bundle_adjust_schur_with_priors, ba_schur.rs:385): residual
+    # r = (C − center) / σ with C = −Rᵀt the camera centre in world
+    # frame; anchors gauge / fuses odometry-GPS. prior_invs[i] = 1/σᵢ,
+    # 0 = no prior on pose i.
+    prior_center: Optional[jax.Array] = None   # (P, 3)
+    prior_invs: Optional[jax.Array] = None     # (P,)
 
 
 class BAResult(NamedTuple):
@@ -126,6 +133,7 @@ def build_problem(
     obs_w=None, fixed_poses=None, fixed_points=None,
     max_obs_per_point: Optional[int] = None,
     obs_depth=None, obs_depth_w=None,
+    pose_prior_center=None, pose_prior_sigma=None,
 ) -> BAProblem:
     """Host-side construction: sorts observations by point, groups them
     by point (static topology → static shapes, padded to K = max obs
@@ -145,6 +153,17 @@ def build_problem(
         obs_depth_w = np.asarray(
             np.ones(m, np.float32) if obs_depth_w is None else obs_depth_w,
             np.float32)
+
+    prior_center = prior_invs = None
+    if pose_prior_center is not None:
+        prior_center = np.zeros((n_poses, 3), np.float32)
+        prior_invs = np.zeros(n_poses, np.float32)
+        prior_center[:] = np.nan_to_num(
+            np.asarray(pose_prior_center, np.float32))
+        sig = np.asarray(pose_prior_sigma, np.float32)
+        # reference clamps σ ≥ 1e-6 (ba.rs:111); σ ≤ 0 / NaN = no prior
+        good = np.isfinite(sig) & (sig > 0.0)
+        prior_invs[good] = 1.0 / np.maximum(sig[good], 1e-6)
 
     # sort by point: the segmented reductions become tile-local, and
     # results are order-independent
@@ -234,12 +253,44 @@ def build_problem(
         seg_oh=seg_oh,
         seg_ids=seg_ids,
         cam_oh=cam_oh,
+        prior_center=(None if prior_center is None
+                      else jnp.asarray(prior_center)),
+        prior_invs=(None if prior_invs is None
+                    else jnp.asarray(prior_invs)),
     )
 
 
 # ---------------------------------------------------------------------------
 # residuals + analytic Jacobians
 # ---------------------------------------------------------------------------
+
+
+def prior_terms(poses, prior_center, prior_invs, fixed_poses,
+                loss: str, loss_scale: float):
+    """Per-pose translation-prior contributions (reference
+    ba_schur.rs:666-770, re-derived for this module's LEFT-perturbation
+    convention exp(δ)·T — under which ∂C/∂ρ = −Rᵀ and ∂C/∂ω = 0, where
+    C = −Rᵀt is the camera centre in world frame).
+
+    Returns (dU (P, 6, 6), dg (P, 6), cost scalar) to add to the pose
+    blocks of the normal equations — priors couple to no point, so only
+    the on-diagonal camera blocks change (B, V untouched). Priors on
+    fixed poses are silently ignored (reference semantics)."""
+    rm = lg.quat_to_matrix(poses[:, 0:4])            # (P, 3, 3)
+    t = poses[:, 4:7]
+    c_pred = -jnp.einsum("pji,pj->pi", rm, t, precision=_HI)  # −Rᵀt
+    invs = prior_invs * (~fixed_poses)
+    r = (c_pred - prior_center) * invs[:, None]      # whitened (P, 3)
+    sq = jnp.sum(r * r, axis=-1)
+    w = LOSSES[loss](sq, loss_scale) * (invs > 0.0)
+    # J = [−Rᵀ·invσ | 0]  (P, 3, 6)
+    j = jnp.concatenate(
+        [-jnp.swapaxes(rm, -1, -2) * invs[:, None, None],
+         jnp.zeros_like(rm)], axis=-1)
+    du = jnp.einsum("pki,pkj->pij", j * w[:, None, None], j, precision=_HI)
+    dg = -jnp.einsum("pki,pk->pi", j * w[:, None, None], r, precision=_HI)
+    cost = 0.5 * jnp.sum(w * sq)
+    return du, dg, cost
 
 
 def _project_with_jacobians(
@@ -311,7 +362,13 @@ def ba_cost(problem: BAProblem, poses=None, points=None, params: BAParams = BAPa
     )
     sq = jnp.sum(r * r, axis=-1)
     w = LOSSES[params.loss](sq, params.loss_scale)
-    return 0.5 * jnp.sum(problem.obs_w * w * sq)
+    cost = 0.5 * jnp.sum(problem.obs_w * w * sq)
+    if problem.prior_center is not None:
+        _, _, pc = prior_terms(
+            poses, problem.prior_center, problem.prior_invs,
+            problem.fixed_poses, params.loss, params.loss_scale)
+        cost = cost + pc
+    return cost
 
 
 # ---------------------------------------------------------------------------
@@ -406,6 +463,12 @@ def schur_normal_equations(
                     problem.seg_oh, problem.seg_ids)
     g_x = _seg_sum_pt(gx_terms, problem.obs_pt, n,
                       problem.seg_oh, problem.seg_ids)
+    if problem.prior_center is not None:
+        du, dg, _ = prior_terms(
+            poses, problem.prior_center, problem.prior_invs,
+            problem.fixed_poses, params.loss, params.loss_scale)
+        U = U + du
+        g_p = g_p + dg
     return U, g_p, V, g_x, b_blocks
 
 

@@ -12,11 +12,20 @@ Design:
       - *keyframe-sharded* (`shard_problem_by_keyframe`): each
         observation starts on the shard that produced it (its keyframe's
         owner — the natural front-end layout), and the BA program itself
-        runs the ragged `all_to_all` (parallel.exchange) to move every
+        runs the ragged exchange (parallel.exchange: one packed
+        all_to_all, or skew-proof ppermute rounds) to move every
         observation to its point's owner before reduction. This is the
         north-star dataflow: sharded front-end → observation exchange →
         psum'd Schur.
     Poses and intrinsics are replicated (6P is small).
+  * **Tiled segment engine on BOTH layouts**: the exchange's receive
+    order is deterministic (static plan), so `shard_problem_by_keyframe`
+    pre-computes a per-shard sort-by-point permutation and builds the
+    one-hot MXU segment engine (optim/ba.py round-2c) on the
+    post-exchange ordering. In-program the permutation is ONE static-
+    shape row gather per solve (amortized over all LM iterations); every
+    per-CG-step segmented reduction then runs at MXU rate instead of the
+    scalar-rate scatter wall.
   * **Per LM iteration** (collective budget, recorded in PERF_NOTES):
     each device accumulates its partial pose blocks U, g_p, the Schur
     rhs, and — when it fits (`_S_MAT_BYTES`/`_BC_MAT_BYTES`) — its
@@ -27,6 +36,11 @@ Design:
     accept/reject cost. **2 collectives per LM iteration.** Only at true
     pod scale, where S cannot materialize, does the matrix-free PCG path
     pay one psum per CG step.
+  * **RGB-D depth** (reference BaObservation depth, ba.rs:41,83) and
+    **pose priors** (BaPosePrior, ba.rs:107 / ba_schur.rs:385) ride both
+    layouts: depth rows travel inside the packed exchange payload;
+    priors touch only replicated pose state, so every shard adds the
+    identical prior blocks AFTER the psum (zero extra collectives).
   * The LM loop (`lax.scan`) lives *inside* `shard_map`, so the whole
     optimization is one compiled SPMD program.
 
@@ -36,7 +50,7 @@ Host-side `shard_problem*` does the static partitioning/padding
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple, Optional, Tuple, Union
 
 import numpy as np
 import jax
@@ -85,23 +99,78 @@ class ShardedBAProblem(NamedTuple):
     seg_oh: Optional[jax.Array] = None    # (D, tiles, T, S) f32
     seg_ids: Optional[jax.Array] = None   # (D, tiles * S) int32
     cam_oh: Optional[jax.Array] = None    # (D, P, Ml) f32
+    # RGB-D depth channel (reference BaObservation depth, ba.rs:41,83)
+    obs_depth: Optional[jax.Array] = None    # (D, Ml)
+    obs_depth_w: Optional[jax.Array] = None  # (D, Ml)
+    # pose priors (replicated; reference BaPosePrior ba.rs:107)
+    prior_center: Optional[jax.Array] = None  # (P, 3)
+    prior_invs: Optional[jax.Array] = None    # (P,)
 
 
 class KeyframeShardedBA(NamedTuple):
     """Keyframe-sharded BA problem: observations live on their
-    *producer* shard (keyframe owner) and carry routing buffers for the
-    in-program all_to_all to their point's owner shard."""
+    *producer* shard (keyframe owner), packed into the exchange payload
+    for the in-program routing to their point's owner shard. Carries the
+    static post-exchange sort permutation + the tiled segment engine
+    built on that ordering (see module docstring)."""
 
     poses: jax.Array          # (P, 7) replicated
     points: jax.Array         # (D, Nl, 3) sharded (contiguous ranges)
     k: jax.Array              # (3, 3) replicated
-    send_cam: jax.Array       # (D, D, B) int32 global pose ids
-    send_pt: jax.Array        # (D, D, B) int32 point id LOCAL TO DEST
-    send_uv: jax.Array        # (D, D, B, 2) f32
-    send_w: jax.Array         # (D, D, B) f32; 0 = padding
+    # packed send payload: (D, D, B, C) [a2a] or tuple of (D, B_r, C)
+    # [ppermute rounds]; columns per parallel.exchange
+    payload: Union[jax.Array, Tuple[jax.Array, ...]]
+    mode: str                 # "a2a" | "rounds"  (static)
+    rounds: Tuple[int, ...]   # active offsets (rounds mode)
+    perm: jax.Array           # (D, Lp) int32 — sort-by-point permutation
     fixed_poses: jax.Array    # (P,)
     fixed_points: jax.Array   # (D, Nl)
     n_points: int
+    recv_len: int             # L rows received per shard (pre-pad)
+    pad: int                  # rows appended in-program to reach Lp
+    has_depth: bool = False
+    seg_oh: Optional[jax.Array] = None    # (D, tiles, T, S) f32
+    seg_ids: Optional[jax.Array] = None   # (D, tiles * S) int32
+    cam_oh: Optional[jax.Array] = None    # (D, P, Lp) f32
+    prior_center: Optional[jax.Array] = None  # (P, 3)
+    prior_invs: Optional[jax.Array] = None    # (P,)
+
+
+def _build_shard_engine(o_pt: np.ndarray, o_cam: np.ndarray, nl: int,
+                        n_poses: int):
+    """Per-shard tiled segment engine + camera one-hot from host-known
+    (point-sorted, tile-padded) per-shard observation ids.
+
+    o_pt/o_cam: (D, Ml) with Ml a _SEG_T multiple. Returns jnp arrays
+    (seg_oh (D, tiles, T, S), seg_ids (D, tiles·S), cam_oh (D, P, Ml))
+    with None where disabled / over budget."""
+    seg_t, seg_s = ba_mod._SEG_T, ba_mod._SEG_S
+    n_devices, ml = o_pt.shape
+    seg_oh = seg_ids = cam_oh = None
+    if not ba_mod._engine_enabled():
+        return None, None, None
+    tiles = o_pt.reshape(n_devices, -1, seg_t)
+    base = tiles.min(axis=2)
+    span = tiles.max(axis=2) - base + 1
+    if span.max() <= seg_s:
+        n_tiles = tiles.shape[1]
+        local = tiles - base[..., None]
+        oh = np.zeros((n_devices, n_tiles, seg_t, seg_s), np.float32)
+        di = np.repeat(np.arange(n_devices), n_tiles * seg_t)
+        ti = np.tile(np.repeat(np.arange(n_tiles), seg_t), n_devices)
+        oi = np.tile(np.arange(seg_t), n_devices * n_tiles)
+        oh[di, ti, oi, local.reshape(-1)] = 1.0
+        ids = base[..., None] + np.arange(seg_s)[None, None, :]
+        seg_oh = jnp.asarray(oh)
+        seg_ids = jnp.asarray(
+            np.clip(ids, 0, nl - 1).reshape(n_devices, -1).astype(np.int32))
+    if n_poses * ml * 4 <= ba_mod._CAM_OH_BYTES:
+        coh = np.zeros((n_devices, n_poses, ml), np.float32)
+        coh[np.repeat(np.arange(n_devices), ml).reshape(n_devices, ml),
+            o_cam, np.tile(np.arange(ml), n_devices).reshape(n_devices, ml)
+            ] = 1.0
+        cam_oh = jnp.asarray(coh)
+    return seg_oh, seg_ids, cam_oh
 
 
 def shard_problem(problem: ba_mod.BAProblem, n_devices: int) -> ShardedBAProblem:
@@ -115,6 +184,9 @@ def shard_problem(problem: ba_mod.BAProblem, n_devices: int) -> ShardedBAProblem
     points = np.asarray(problem.points)
     fixed_points = np.asarray(problem.fixed_points)
     n = points.shape[0]
+    has_depth = problem.obs_depth is not None
+    obs_depth = (np.asarray(problem.obs_depth) if has_depth else None)
+    obs_depth_w = (np.asarray(problem.obs_depth_w) if has_depth else None)
 
     nl = -(-n // n_devices)  # points per shard (padded)
     n_pad = nl * n_devices
@@ -136,6 +208,8 @@ def shard_problem(problem: ba_mod.BAProblem, n_devices: int) -> ShardedBAProblem
     o_pt = np.full((n_devices, ml), nl - 1, np.int32)
     o_uv = np.zeros((n_devices, ml, 2), np.float32)
     o_w = np.zeros((n_devices, ml), np.float32)
+    o_depth = np.zeros((n_devices, ml), np.float32) if has_depth else None
+    o_depth_w = np.zeros((n_devices, ml), np.float32) if has_depth else None
     fill = np.zeros(n_devices, np.int32)
     for i in range(obs_pt.shape[0]):
         d = shard_of_obs[i]
@@ -144,35 +218,13 @@ def shard_problem(problem: ba_mod.BAProblem, n_devices: int) -> ShardedBAProblem
         o_pt[d, s] = obs_pt[i] - d * nl  # local id
         o_uv[d, s] = obs_uv[i]
         o_w[d, s] = obs_w[i]
+        if has_depth:
+            o_depth[d, s] = obs_depth[i]
+            o_depth_w[d, s] = obs_depth_w[i]
         fill[d] += 1
 
-    # per-shard tiled segment engine + camera one-hot (see optim/ba.py;
-    # KORNIA_TPU_BA_ENGINE gates it — auto = TPU only)
-    seg_t, seg_s = ba_mod._SEG_T, ba_mod._SEG_S
     n_poses = np.asarray(problem.poses).shape[0]
-    seg_oh = seg_ids = cam_oh = None
-    enabled = ba_mod._engine_enabled()
-    tiles = o_pt.reshape(n_devices, -1, seg_t)
-    base = tiles.min(axis=2)
-    span = tiles.max(axis=2) - base + 1
-    if enabled and span.max() <= seg_s:
-        n_tiles = tiles.shape[1]
-        local = tiles - base[..., None]
-        oh = np.zeros((n_devices, n_tiles, seg_t, seg_s), np.float32)
-        di = np.repeat(np.arange(n_devices), n_tiles * seg_t)
-        ti = np.tile(np.repeat(np.arange(n_tiles), seg_t), n_devices)
-        oi = np.tile(np.arange(seg_t), n_devices * n_tiles)
-        oh[di, ti, oi, local.reshape(-1)] = 1.0
-        ids = base[..., None] + np.arange(seg_s)[None, None, :]
-        seg_oh = jnp.asarray(oh)
-        seg_ids = jnp.asarray(
-            np.clip(ids, 0, nl - 1).reshape(n_devices, -1).astype(np.int32))
-    if enabled and n_poses * ml * 4 <= ba_mod._CAM_OH_BYTES:
-        coh = np.zeros((n_devices, n_poses, ml), np.float32)
-        coh[np.repeat(np.arange(n_devices), ml).reshape(n_devices, ml),
-            o_cam, np.tile(np.arange(ml), n_devices).reshape(n_devices, ml)
-            ] = 1.0
-        cam_oh = jnp.asarray(coh)
+    seg_oh, seg_ids, cam_oh = _build_shard_engine(o_pt, o_cam, nl, n_poses)
 
     return ShardedBAProblem(
         poses=problem.poses,
@@ -188,6 +240,10 @@ def shard_problem(problem: ba_mod.BAProblem, n_devices: int) -> ShardedBAProblem
         seg_oh=seg_oh,
         seg_ids=seg_ids,
         cam_oh=cam_oh,
+        obs_depth=None if not has_depth else jnp.asarray(o_depth),
+        obs_depth_w=None if not has_depth else jnp.asarray(o_depth_w),
+        prior_center=problem.prior_center,
+        prior_invs=problem.prior_invs,
     )
 
 
@@ -197,7 +253,10 @@ def shard_problem_by_keyframe(
 ) -> KeyframeShardedBA:
     """Partition a BAProblem the way a sharded *front-end* produces it:
     each observation sits on the shard owning its keyframe (camera); the
-    BA program exchanges them to their point-owner shards in-flight.
+    BA program exchanges them to their point-owner shards in-flight,
+    then applies the pre-computed sort-by-point permutation so the tiled
+    segment engine (built host-side on the deterministic post-exchange
+    ordering) applies.
 
     ``cam_shard``: (P,) shard owner per camera; default = contiguous
     blocks of ceil(P / D) cameras. Point ownership is contiguous ranges
@@ -211,12 +270,17 @@ def shard_problem_by_keyframe(
     fixed_points = np.asarray(problem.fixed_points)
     n = points.shape[0]
     p = np.asarray(problem.poses).shape[0]
+    has_depth = problem.obs_depth is not None
+    obs_depth = np.asarray(problem.obs_depth) if has_depth else None
+    obs_depth_w = np.asarray(problem.obs_depth_w) if has_depth else None
 
     # drop build_problem's zero-weight padding rows — no point shipping
     # them through the interconnect
     real = obs_w != 0.0
     obs_pt, obs_cam = obs_pt[real], obs_cam[real]
     obs_uv, obs_w = obs_uv[real], obs_w[real]
+    if has_depth:
+        obs_depth, obs_depth_w = obs_depth[real], obs_depth_w[real]
 
     if cam_shard is None:
         per = -(-p // n_devices)
@@ -233,19 +297,51 @@ def shard_problem_by_keyframe(
     plan = ex_mod.build_exchange_plan(
         obs_src_shard=cam_shard[obs_cam], obs_cam=obs_cam, obs_pt=obs_pt,
         obs_uv=obs_uv, n_devices=n_devices, points_per_shard=nl,
-        obs_w=obs_w)
+        obs_w=obs_w,
+        obs_depth=obs_depth if has_depth else None,
+        obs_depth_w=obs_depth_w if has_depth else None)
+
+    # the receive order is deterministic → pre-compute, per dest shard,
+    # the stable sort-by-point permutation (padding rows carry point id
+    # nl−1, so they sort to the tail of that point's run) over the
+    # tile-padded length, and build the segment engine on that ordering
+    lp = plan.recv_len + (-plan.recv_len % ba_mod._SEG_T)
+    pad = lp - plan.recv_len
+    perm = np.zeros((n_devices, lp), np.int64)
+    sorted_pt = np.zeros((n_devices, lp), np.int32)
+    sorted_cam = np.zeros((n_devices, lp), np.int32)
+    for dd in range(n_devices):
+        recv = ex_mod.host_receive_order(plan, dd, n_devices)
+        pt_col = np.full(lp, nl - 1, np.int32)
+        cam_col = np.zeros(lp, np.int32)
+        pt_col[:plan.recv_len] = recv[:, 1].astype(np.int32)
+        cam_col[:plan.recv_len] = recv[:, 0].astype(np.int32)
+        order = np.argsort(pt_col, kind="stable")
+        perm[dd] = order
+        sorted_pt[dd] = pt_col[order]
+        sorted_cam[dd] = cam_col[order]
+    seg_oh, seg_ids, cam_oh = _build_shard_engine(sorted_pt, sorted_cam,
+                                                  nl, p)
 
     return KeyframeShardedBA(
         poses=problem.poses,
         points=jnp.asarray(pts_pad.reshape(n_devices, nl, 3)),
         k=problem.k,
-        send_cam=plan.obs_cam,
-        send_pt=plan.obs_pt,
-        send_uv=plan.obs_uv,
-        send_w=plan.obs_w,
+        payload=plan.payload,
+        mode=plan.mode,
+        rounds=plan.rounds,
+        perm=jnp.asarray(perm.astype(np.int32)),
         fixed_poses=problem.fixed_poses,
         fixed_points=jnp.asarray(fixed_pad.reshape(n_devices, nl)),
         n_points=n,
+        recv_len=plan.recv_len,
+        pad=pad,
+        has_depth=has_depth,
+        seg_oh=seg_oh,
+        seg_ids=seg_ids,
+        cam_oh=cam_oh,
+        prior_center=problem.prior_center,
+        prior_invs=problem.prior_invs,
     )
 
 
@@ -264,9 +360,11 @@ def _psum_packed(arrs, axis):
 
 
 def _local_cost(poses, points_l, k, obs_cam, obs_pt, obs_uv, obs_w, params,
-                seg_oh=None, seg_ids=None, cam_oh=None):
+                seg_oh=None, seg_ids=None, cam_oh=None,
+                obs_depth=None, obs_depth_w=None):
     r, _, _ = ba_mod._project_with_jacobians(
         poses, points_l, k, obs_cam, obs_pt, obs_uv,
+        obs_depth, obs_depth_w,
         seg_oh=seg_oh, seg_ids=seg_ids, cam_oh=cam_oh)
     sq = jnp.sum(r * r, axis=-1)
     w = LOSSES[params.loss](sq, params.loss_scale)
@@ -313,10 +411,12 @@ def _cg_on_dense_blocks(s_blocks, u_damped, rhs, free, iters):
 
 def _lm_schur_loop(poses, points_l, k, obs_cam, obs_pt, obs_uv, obs_w,
                    fixed_poses, fixed_points_l, params: BAParams,
-                   axis: str, seg_oh_l=None, seg_ids_l=None, cam_oh_l=None):
+                   axis: str, seg_oh_l=None, seg_ids_l=None, cam_oh_l=None,
+                   obs_depth=None, obs_depth_w=None,
+                   prior_center=None, prior_invs=None):
     """The shared per-shard LM-Schur loop. Runs INSIDE ``shard_map``:
     ``points_l``/``obs_*``/``fixed_points_l`` are this shard's blocks,
-    poses/k/fixed_poses are replicated. Returns
+    poses/k/fixed_poses/priors are replicated. Returns
     (poses_f, points_f, c0, cost_f)."""
     p = poses.shape[0]
     nl = points_l.shape[0]
@@ -325,6 +425,7 @@ def _lm_schur_loop(poses, points_l, k, obs_cam, obs_pt, obs_uv, obs_w,
     has_obs = ba_mod._seg_sum_pt(
         obs_w[:, None], obs_pt, nl, seg_oh_l, seg_ids_l)[:, 0] > 0.0
     active = (~fixed_points_l) & has_obs
+    has_prior = prior_center is not None
 
     # static solver pick (shapes are static at trace time)
     s_fits = p * p * 36 * 4 <= _S_MAT_BYTES
@@ -338,8 +439,17 @@ def _lm_schur_loop(poses, points_l, k, obs_cam, obs_pt, obs_uv, obs_w,
 
     def total_cost(ps, pts_l):
         local = _local_cost(ps, pts_l, k, obs_cam, obs_pt, obs_uv,
-                            obs_w, params, seg_oh_l, seg_ids_l, cam_oh_l)
-        return jax.lax.psum(local, axis)
+                            obs_w, params, seg_oh_l, seg_ids_l, cam_oh_l,
+                            obs_depth, obs_depth_w)
+        cost = jax.lax.psum(local, axis)
+        if has_prior:
+            # priors depend only on replicated pose state: every shard
+            # adds the identical term AFTER the psum (no collective)
+            _, _, pc = ba_mod.prior_terms(
+                ps, prior_center, prior_invs, fixed_poses,
+                params.loss, params.loss_scale)
+            cost = cost + pc
+        return cost
 
     eye3 = jnp.eye(3, dtype=jnp.float32)
     eye6 = jnp.eye(6, dtype=jnp.float32)
@@ -348,6 +458,7 @@ def _lm_schur_loop(poses, points_l, k, obs_cam, obs_pt, obs_uv, obs_w,
         poses_c, points_c, lam, cost = carry
         r, j_pose, j_pt = ba_mod._project_with_jacobians(
             poses_c, points_c, k, obs_cam, obs_pt, obs_uv,
+            obs_depth, obs_depth_w,
             seg_oh=seg_oh_l, seg_ids=seg_ids_l, cam_oh=cam_oh_l,
         )
         sq = jnp.sum(r * r, axis=-1)
@@ -399,6 +510,12 @@ def _lm_schur_loop(poses, points_l, k, obs_cam, obs_pt, obs_uv, obs_w,
             U, g_p, rhs_part = _psum_packed(
                 [u_partial, gp_partial, rhs_partial], axis)
             s_sum = None
+        if has_prior:
+            du, dg, _ = ba_mod.prior_terms(
+                poses_c, prior_center, prior_invs, fixed_poses,
+                params.loss, params.loss_scale)
+            U = U + du
+            g_p = g_p + dg
         rhs_p = g_p - rhs_part
 
         u_damped = U + (lam * jnp.maximum(
@@ -520,37 +637,53 @@ def bundle_adjust_schur_dist(
     axis = mesh.axis_names[0]
     has_seg = sharded.seg_oh is not None
     has_cam = sharded.cam_oh is not None
+    has_depth = sharded.obs_depth is not None
+    has_prior = sharded.prior_center is not None
 
     def spmd(poses, points_s, k, obs_cam_s, obs_pt_s, obs_uv_s, obs_w_s,
-             fixed_poses, fixed_points_s, *eng):
-        ei = 0
+             fixed_poses, fixed_points_s, *opt):
+        oi = 0
         seg_oh_l = seg_ids_l = cam_oh_l = None
+        depth_l = depth_w_l = prior_c = prior_i = None
         if has_seg:
-            seg_oh_l, seg_ids_l = eng[ei][0], eng[ei + 1][0]
-            ei += 2
+            seg_oh_l, seg_ids_l = opt[oi][0], opt[oi + 1][0]
+            oi += 2
         if has_cam:
-            cam_oh_l = eng[ei][0]
+            cam_oh_l = opt[oi][0]
+            oi += 1
+        if has_depth:
+            depth_l, depth_w_l = opt[oi][0], opt[oi + 1][0]
+            oi += 2
+        if has_prior:
+            prior_c, prior_i = opt[oi], opt[oi + 1]
         poses_f, points_f, c0, cost_f = _lm_schur_loop(
             poses, points_s[0], k, obs_cam_s[0], obs_pt_s[0],
             obs_uv_s[0], obs_w_s[0], fixed_poses, fixed_points_s[0],
-            params, axis, seg_oh_l, seg_ids_l, cam_oh_l)
+            params, axis, seg_oh_l, seg_ids_l, cam_oh_l,
+            depth_l, depth_w_l, prior_c, prior_i)
         return poses_f, points_f[None], c0, cost_f
 
-    eng_args = []
-    eng_specs = []
+    opt_args = []
+    opt_specs = []
     if has_seg:
-        eng_args += [sharded.seg_oh, sharded.seg_ids]
-        eng_specs += [P(axis), P(axis)]
+        opt_args += [sharded.seg_oh, sharded.seg_ids]
+        opt_specs += [P(axis), P(axis)]
     if has_cam:
-        eng_args += [sharded.cam_oh]
-        eng_specs += [P(axis)]
+        opt_args += [sharded.cam_oh]
+        opt_specs += [P(axis)]
+    if has_depth:
+        opt_args += [sharded.obs_depth, sharded.obs_depth_w]
+        opt_specs += [P(axis), P(axis)]
+    if has_prior:
+        opt_args += [sharded.prior_center, sharded.prior_invs]
+        opt_specs += [P(), P()]
 
     fn = shard_map(
         spmd,
         mesh=mesh,
         in_specs=(
             P(), P(axis), P(), P(axis), P(axis), P(axis), P(axis),
-            P(), P(axis), *eng_specs,
+            P(), P(axis), *opt_specs,
         ),
         out_specs=(P(), P(axis), P(), P()),
         check_vma=False,
@@ -558,7 +691,7 @@ def bundle_adjust_schur_dist(
     poses_f, points_sharded, c0, cost_f = fn(
         sharded.poses, sharded.points, sharded.k,
         sharded.obs_cam, sharded.obs_pt, sharded.obs_uv, sharded.obs_w,
-        sharded.fixed_poses, sharded.fixed_points, *eng_args,
+        sharded.fixed_poses, sharded.fixed_points, *opt_args,
     )
     points_full = points_sharded.reshape(-1, 3)[: sharded.n_points]
     return BAResult(
@@ -571,33 +704,79 @@ def bundle_adjust_schur_dist_kf(
     sharded: KeyframeShardedBA, mesh: Mesh, params: BAParams = BAParams()
 ) -> BAResult:
     """Distributed BA from the *keyframe-sharded* layout: the program
-    first all_to_all's every observation from its producer (keyframe
-    owner) to its point's owner shard (parallel.exchange), then runs the
-    same LM-Schur loop — exchange → reduction fused into ONE SPMD
-    program (the north-star dataflow, SURVEY.md §5.7)."""
+    first routes every observation from its producer (keyframe owner) to
+    its point's owner shard (parallel.exchange — one packed all_to_all
+    or skew-proof ppermute rounds), sorts arrivals by point with the
+    static pre-computed permutation, and runs the same LM-Schur loop
+    with the tiled segment engine — exchange → sort → reduction fused
+    into ONE SPMD program (the north-star dataflow, SURVEY.md §5.7)."""
     axis = mesh.axis_names[0]
+    nl = sharded.points.shape[1]  # (D, Nl, 3) → Nl
+    has_seg = sharded.seg_oh is not None
+    has_cam = sharded.cam_oh is not None
+    has_prior = sharded.prior_center is not None
+    n_payload = 1 if sharded.mode == "a2a" else len(sharded.payload)
 
-    def spmd(poses, points_s, k, s_cam, s_pt, s_uv, s_w,
-             fixed_poses, fixed_points_s):
-        cam, pt, uv, w = ex_mod.exchange_in_spmd(
-            s_cam, s_pt, s_uv, s_w, axis)
+    def spmd(poses, points_s, k, fixed_poses, fixed_points_s, perm_s,
+             *rest):
+        payload = rest[:n_payload]
+        opt = rest[n_payload:]
+        oi = 0
+        seg_oh_l = seg_ids_l = cam_oh_l = prior_c = prior_i = None
+        if has_seg:
+            seg_oh_l, seg_ids_l = opt[oi][0], opt[oi + 1][0]
+            oi += 2
+        if has_cam:
+            cam_oh_l = opt[oi][0]
+            oi += 1
+        if has_prior:
+            prior_c, prior_i = opt[oi], opt[oi + 1]
+
+        p_arg = payload[0] if sharded.mode == "a2a" else payload
+        recv = ex_mod.exchange_payload_in_spmd(
+            p_arg, sharded.mode, sharded.rounds, axis)[0]  # (L, C)
+        if sharded.pad:
+            pad_rows = jnp.zeros((sharded.pad, recv.shape[-1]),
+                                 recv.dtype).at[:, 1].set(nl - 1)
+            recv = jnp.concatenate([recv, pad_rows], axis=0)
+        # ONE static-shape row gather per solve: sort by point so the
+        # tiled segment engine's tile-local windows hold
+        recv = jnp.take(recv, perm_s[0], axis=0)
+        cam, pt, uv, w, depth, depth_w = ex_mod.unpack_payload(recv)
+
         poses_f, points_f, c0, cost_f = _lm_schur_loop(
-            poses, points_s[0], k, cam[0], pt[0], uv[0], w[0],
-            fixed_poses, fixed_points_s[0], params, axis)
+            poses, points_s[0], k, cam, pt, uv, w,
+            fixed_poses, fixed_points_s[0], params, axis,
+            seg_oh_l, seg_ids_l, cam_oh_l, depth, depth_w,
+            prior_c, prior_i)
         return poses_f, points_f[None], c0, cost_f
+
+    payload_args = ((sharded.payload,) if sharded.mode == "a2a"
+                    else tuple(sharded.payload))
+    opt_args = []
+    opt_specs = []
+    if has_seg:
+        opt_args += [sharded.seg_oh, sharded.seg_ids]
+        opt_specs += [P(axis), P(axis)]
+    if has_cam:
+        opt_args += [sharded.cam_oh]
+        opt_specs += [P(axis)]
+    if has_prior:
+        opt_args += [sharded.prior_center, sharded.prior_invs]
+        opt_specs += [P(), P()]
 
     fn = shard_map(
         spmd,
         mesh=mesh,
-        in_specs=(P(), P(axis), P(), P(axis), P(axis), P(axis), P(axis),
-                  P(), P(axis)),
+        in_specs=(P(), P(axis), P(), P(), P(axis), P(axis),
+                  *(P(axis) for _ in payload_args), *opt_specs),
         out_specs=(P(), P(axis), P(), P()),
         check_vma=False,
     )
     poses_f, points_sharded, c0, cost_f = fn(
         sharded.poses, sharded.points, sharded.k,
-        sharded.send_cam, sharded.send_pt, sharded.send_uv,
-        sharded.send_w, sharded.fixed_poses, sharded.fixed_points,
+        sharded.fixed_poses, sharded.fixed_points, sharded.perm,
+        *payload_args, *opt_args,
     )
     points_full = points_sharded.reshape(-1, 3)[: sharded.n_points]
     return BAResult(

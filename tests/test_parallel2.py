@@ -157,3 +157,69 @@ class TestFrontendDist:
             np.asarray(batched.xy[0]), np.asarray(single0.xy), atol=1e-4)
         np.testing.assert_array_equal(
             np.asarray(batched.mask[0]), np.asarray(single0.mask))
+
+
+class TestExchangeSkew:
+    """SURVEY.md §7 hard-part #1: skewed co-visibility. One hot
+    (src, dst) keyframe pair must not inflate all D² buckets — the
+    auto plan switches to ppermute rounds, bounding the payload."""
+
+    def _skewed(self, rng, d=8, hot=1500, cold=6):
+        # hot: keyframes on shard 2 observing points owned by shard 5;
+        # cold: a few obs between every other pair
+        src, cam, pt = [], [], []
+        src += [2] * hot
+        cam += list(rng.integers(0, 4, hot))
+        pt += list(rng.integers(5 * 10, 6 * 10, hot))  # shard 5's points
+        for s in range(d):
+            for t in range(d):
+                if (s, t) == (2, 5):
+                    continue
+                src += [s] * cold
+                cam += list(rng.integers(0, 4, cold))
+                pt += list(rng.integers(t * 10, (t + 1) * 10, cold))
+        m = len(src)
+        uv = rng.random((m, 2)).astype(np.float32)
+        return (np.asarray(src), np.asarray(cam, np.int32),
+                np.asarray(pt), uv, d, m)
+
+    def test_hot_pair_switches_to_rounds_and_bounds_payload(self, mesh8):
+        rng = np.random.default_rng(5)
+        src, cam, pt, uv, d, m = self._skewed(rng)
+        plan = exchange.build_exchange_plan(src, cam, pt, uv, d, 10)
+        assert plan.mode == "rounds"
+        bytes_a2a = d * d * plan.bucket * plan.n_cols * 4
+        # rounds pays the hot bucket ONCE per shard instead of D² times
+        assert plan.payload_bytes < 0.25 * bytes_a2a
+        # absolute budget: within 8× (= D, the per-round replication
+        # across shards) of the raw observation bytes + slack for the
+        # cold rounds
+        raw = m * plan.n_cols * 4
+        assert plan.payload_bytes < 10 * raw, (plan.payload_bytes, raw)
+
+    def test_skewed_routing_correct(self, mesh8):
+        rng = np.random.default_rng(6)
+        src, cam, pt, uv, d, m = self._skewed(rng, hot=300)
+        plan = exchange.build_exchange_plan(src, cam, pt, uv, d, 10)
+        rcam, rpt, ruv, rw = exchange.exchange_observations(plan, mesh8)
+        rcam, rpt = np.asarray(rcam), np.asarray(rpt)
+        ruv, rw = np.asarray(ruv), np.asarray(rw)
+        assert int((rw > 0).sum()) == m
+        # spot-check a sample of rows land on their owner with payload
+        for i in rng.choice(m, 50, replace=False):
+            owner, local = pt[i] // 10, pt[i] % 10
+            rows = np.nonzero(
+                (rw[owner] > 0) & (rcam[owner] == cam[i])
+                & (rpt[owner] == local)
+                & (np.abs(ruv[owner] - uv[i]).sum(1) < 1e-6))[0]
+            assert len(rows) >= 1
+
+    def test_uniform_stays_a2a(self, mesh8):
+        rng = np.random.default_rng(7)
+        d, m = 8, 640
+        src = rng.integers(0, d, m)
+        cam = rng.integers(0, 6, m).astype(np.int32)
+        pt = rng.integers(0, d * 10, m)
+        uv = rng.random((m, 2)).astype(np.float32)
+        plan = exchange.build_exchange_plan(src, cam, pt, uv, d, 10)
+        assert plan.mode == "a2a"
