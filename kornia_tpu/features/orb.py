@@ -12,11 +12,13 @@ TPU re-design:
   * the descriptor is kept as a (N, 256) ±1/0 bit plane so Hamming matching
     is one int-matmul on the MXU (see features/matching.py).
 
-The BRIEF pattern is a seeded learned-free variant (Gaussian BRIEF pairs,
-σ = patch/5, like the original BRIEF paper): cross-library descriptor
-*bits* differ from OpenCV's trained pattern, but matching quality is
-validated e2e (homography reprojection error) like the reference's
-benchmarks.md "ORB e2e quality" gate.
+The BRIEF pattern defaults to the published Rublee 2011 learned table
+(``bit_pattern_31_`` — the 256 pairs OpenCV/ORB-SLAM ship and every
+ORBvoc-class vocabulary was trained on; reference orb/pattern.rs:1
+vendors the same public constants). Descriptors are therefore in the
+same bit-space as the vocabularies ``bow.binary_io`` imports.
+``pattern="seeded"`` keeps the prior seeded Gaussian variant
+(σ = patch/5, original BRIEF-paper style) for experiments.
 """
 
 from __future__ import annotations
@@ -40,11 +42,35 @@ _HALF = _PATCH // 2  # 15
 
 @functools.lru_cache(maxsize=None)
 def brief_pattern(seed: int = 7, n_bits: int = 256) -> np.ndarray:
-    """(n_bits, 4) int32 — (x1, y1, x2, y2) offsets in [-15, 15]."""
+    """(n_bits, 4) int32 — (x1, y1, x2, y2) offsets in [-15, 15]
+    (seeded Gaussian variant)."""
     rng = np.random.default_rng(seed)
     sigma = _PATCH / 5.0
     pts = rng.normal(0.0, sigma, size=(n_bits, 4))
     return np.clip(np.round(pts), -_HALF + 1, _HALF - 1).astype(np.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def brief_pattern_rublee2011() -> np.ndarray:
+    """(256, 4) int32 — the published learned BRIEF pattern of Rublee
+    et al. 2011 ("ORB: an efficient alternative to SIFT or SURF"),
+    identical to OpenCV's ``bit_pattern_31_`` and the reference's
+    orb/pattern.rs (public constants, vendored as data). This is the
+    bit-space ORBvoc-format vocabularies are trained in."""
+    import json
+
+    path = os.path.join(os.path.dirname(__file__),
+                        "brief_pattern_rublee2011.json")
+    with open(path) as f:
+        return np.asarray(json.load(f), np.int32)
+
+
+def _resolve_pattern(pattern: str, seed: int) -> np.ndarray:
+    if pattern == "rublee2011":
+        return brief_pattern_rublee2011()
+    if pattern == "seeded":
+        return brief_pattern(seed)
+    raise ValueError(f"unknown BRIEF pattern {pattern!r}")
 
 
 @functools.lru_cache(maxsize=None)
@@ -76,6 +102,10 @@ class OrbConfig:
     fast_threshold_high: float = 20.0
     fast_threshold_low: float = 7.0
     cell_size: int = 35
+    # BRIEF pattern: "rublee2011" (published learned table — OpenCV /
+    # ORB-SLAM / ORBvoc bit-space, the reference's pattern.rs) or
+    # "seeded" (Gaussian pairs from pattern_seed)
+    pattern: str = "rublee2011"
     pattern_seed: int = 7
     # Harris re-ranking of FAST candidates at keypoints (reference
     # responses.rs:153 per-KP Harris; FAST proposes ~2x candidates,
@@ -156,7 +186,8 @@ def orientation_ic(gray_f: jax.Array, xy: jax.Array) -> jax.Array:
 
 
 def brief_from_windows(windows: jax.Array, angle: jax.Array,
-                       seed: int = 7) -> jax.Array:
+                       seed: int = 7,
+                       pattern: str = "rublee2011") -> jax.Array:
     """Rotated BRIEF-256 from (K, 48, 128) blurred windows.
 
     Sampling = one vector-rate Mosaic lane gather for the tap columns +
@@ -165,7 +196,7 @@ def brief_from_windows(windows: jax.Array, angle: jax.Array,
     """
     from kornia_tpu.ops.pallas_kernels import lane_gather
 
-    pat = jnp.asarray(brief_pattern(seed))  # (256, 4)
+    pat = jnp.asarray(_resolve_pattern(pattern, seed))  # (256, 4)
     ca, sa = jnp.cos(angle), jnp.sin(angle)
     k = windows.shape[0]
 
@@ -178,6 +209,18 @@ def brief_from_windows(windows: jax.Array, angle: jax.Array,
                    + py[None, :] * ca[:, None]).astype(jnp.int32)
     cols = jnp.clip(_WIN_CX + dx, 0, _WIN_W - 1)       # (K, 512)
     rows = jnp.clip(_WIN_CY + dy, 0, _WIN_H - 1)       # (K, 512)
+
+    from kornia_tpu.utils.tracing import env_variant
+
+    if env_variant("brief", "pallas" if jax.default_backend() == "tpu"
+                   else "xla") == "pallas":
+        # one VMEM-resident kernel: in-register lane gather + row
+        # select; ~5x the HBM-round-trip formulation below (0.81 ->
+        # ~0.15 ms at K=2048 on v5e — PERF_NOTES round 4b)
+        from kornia_tpu.ops.pallas_kernels import brief_sample_pallas
+
+        s = brief_sample_pallas(windows, rows, cols)
+        return (s[:, :256] < s[:, 256:]).astype(jnp.uint8)
 
     src = windows.reshape(k * _WIN_H, _WIN_W)
     samples = []
@@ -195,11 +238,12 @@ def brief_from_windows(windows: jax.Array, angle: jax.Array,
 
 
 def brief_describe(
-    blurred_f: jax.Array, xy: jax.Array, angle: jax.Array, seed: int = 7
+    blurred_f: jax.Array, xy: jax.Array, angle: jax.Array, seed: int = 7,
+    pattern: str = "rublee2011",
 ) -> jax.Array:
     """Rotated BRIEF-256: (K, 256) uint8 bits (reference orb/pattern.rs +
     process_octave_u8 descriptor stage)."""
-    pat = jnp.asarray(brief_pattern(seed))  # (256, 4)
+    pat = jnp.asarray(_resolve_pattern(pattern, seed))  # (256, 4)
     ca, sa = jnp.cos(angle), jnp.sin(angle)  # (K,)
     h, w = blurred_f.shape
 
@@ -290,10 +334,12 @@ def _process_level(
         xy_int = jnp.round(xy).astype(jnp.int32)
         ang = orientation_from_windows(_extract_windows(gray_f, xy_int))
         desc = brief_from_windows(
-            _extract_windows(blurred, xy_int), ang, cfg.pattern_seed)
+            _extract_windows(blurred, xy_int), ang, cfg.pattern_seed,
+            cfg.pattern)
     else:
         ang = orientation_ic(gray_f, xy)
-        desc = brief_describe(blurred, xy, ang, cfg.pattern_seed)
+        desc = brief_describe(blurred, xy, ang, cfg.pattern_seed,
+                              cfg.pattern)
     return (
         xy * scale,
         jnp.where(valid, vals, 0.0),
@@ -381,7 +427,8 @@ def orb_detect_and_describe_quadtree(
         blurred = gaussian_blur(gray_f[..., None], (7, 7), 2.0)[..., 0]
         ang = orientation_from_windows(_extract_windows(gray_f, xy_int))
         desc = brief_from_windows(
-            _extract_windows(blurred, xy_int), ang, cfg.pattern_seed)
+            _extract_windows(blurred, xy_int), ang, cfg.pattern_seed,
+            cfg.pattern)
         parts.append((
             xy * (cfg.scale_factor**i),
             jnp.asarray(np.where(vmask, sc_np[idx], 0.0)

@@ -184,7 +184,10 @@ int64_t kornia_apriltag_quads(const uint8_t* threshim, int64_t h,
     if (h <= 0 || w <= 0 || h * w > (int64_t)1 << 33) return -1;
     const int64_t n = h * w;
 
-    // ---- CCL over equal-valued classes (4-connectivity)
+    // ---- CCL over equal-valued classes: 4-connectivity, plus top
+    // diagonals for WHITE (255) — the apriltag C library's rule
+    // (reference segmentation.rs cc_strip_phase1; keeps corner-touching
+    // white bit cells one component / one boundary cluster)
     UF uf(n);
     for (int64_t y = 0; y < h; ++y) {
         for (int64_t x = 0; x < w; ++x) {
@@ -195,6 +198,12 @@ int64_t kornia_apriltag_quads(const uint8_t* threshim, int64_t h,
                 uf.unite((int32_t)i, (int32_t)(i - 1));
             if (y > 0 && threshim[i - w] == v)
                 uf.unite((int32_t)i, (int32_t)(i - w));
+            if (v == 255 && y > 0) {
+                if (x > 0 && threshim[i - w - 1] == v)
+                    uf.unite((int32_t)i, (int32_t)(i - w - 1));
+                if (x < w - 1 && threshim[i - w + 1] == v)
+                    uf.unite((int32_t)i, (int32_t)(i - w + 1));
+            }
         }
     }
     std::vector<int32_t> labels(n, 0);

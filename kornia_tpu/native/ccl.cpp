@@ -74,7 +74,12 @@ int64_t kornia_ccl_label(const uint8_t* mask, int64_t h, int64_t w,
 
 // Label same-valued regions of a u8 class image (e.g. AprilTag
 // black/white/unknown threshold output), skipping pixels whose value is
-// `skip` (e.g. 127 = unknown). 4-connectivity merge on equal values.
+// `skip` (e.g. 127 = unknown). 4-connectivity merge on equal values;
+// WHITE (255) pixels additionally merge across the two top diagonals —
+// the apriltag C library's rule (reference segmentation.rs
+// cc_strip_phase1: white is 8-connected so a tag's white bit cells
+// touching only at corners stay ONE component and its boundary stays
+// ONE gradient cluster).
 int64_t kornia_ccl_label_classes(const uint8_t* img, int64_t h, int64_t w,
                                  uint8_t skip, int32_t* labels) {
     const int64_t n = h * w;
@@ -88,6 +93,12 @@ int64_t kornia_ccl_label_classes(const uint8_t* img, int64_t h, int64_t w,
                 uf.unite((int32_t)i, (int32_t)(i - 1));
             if (y > 0 && img[i - w] == v)
                 uf.unite((int32_t)i, (int32_t)(i - w));
+            if (v == 255 && y > 0) {
+                if (x > 0 && img[i - w - 1] == v)
+                    uf.unite((int32_t)i, (int32_t)(i - w - 1));
+                if (x < w - 1 && img[i - w + 1] == v)
+                    uf.unite((int32_t)i, (int32_t)(i - w + 1));
+            }
         }
     }
     std::vector<int32_t> remap(n, 0);

@@ -195,7 +195,10 @@ def connected_components_host(
 
 
 def label_classes_host(img: np.ndarray, skip: int = 127) -> np.ndarray:
-    """Label same-valued 4-connected regions of a u8 class image.
+    """Label same-valued regions of a u8 class image: 4-connectivity,
+    with WHITE (255) additionally 8-connected — the apriltag C
+    library's rule (reference segmentation.rs cc_strip_phase1), so a
+    tag's white bit cells touching only at corners stay one component.
 
     The AprilTag segmentation primitive (reference: rle_cc.rs) — pixels
     equal to ``skip`` stay label 0.
@@ -221,7 +224,8 @@ def label_classes_host(img: np.ndarray, skip: int = 127) -> np.ndarray:
     for v in np.unique(img):
         if v == skip:
             continue
-        sub = _ccl_numpy((img == v).astype(np.uint8), 4)
+        conn = 8 if v == 255 else 4
+        sub = _ccl_numpy((img == v).astype(np.uint8), conn)
         labels[sub > 0] = sub[sub > 0] + offset
         offset = labels.max()
     return labels

@@ -371,6 +371,15 @@ def _track_level_batch_taps(prev: jax.Array, nxt: jax.Array,
                                          tl_t), f_t, win)
     nxt_src = _prepare_taps_source(nxt)
 
+    # NOTE: a fused Newton-step Pallas kernel (resample + b1/b2
+    # projection per point, frame VMEM-resident, only (N, 128) written
+    # per iteration) was built and measured at 41.5 ms on the worst-case
+    # fixture — 4x WORSE than this XLA composition (10.4 ms): the
+    # per-point kernel body serializes 1024 dependent slice+roll chains
+    # and pays ~7 unaligned lane-slice shuffles per point, reproducing
+    # the round-2 rejected roll-kernel result (PERF_NOTES round 4b).
+    # Code removed; the note is the record.
+
     a11 = jnp.sum(ix * ix, axis=(1, 2))
     a12 = jnp.sum(ix * iy, axis=(1, 2))
     a22 = jnp.sum(iy * iy, axis=(1, 2))

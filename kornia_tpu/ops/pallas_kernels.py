@@ -123,17 +123,34 @@ def fused_preprocess_pallas(
     )(src, jnp.asarray(wy), jnp.asarray(wx_t), scale, bias)
 
 
-@functools.partial(jax.jit, static_argnames=("threshold", "arc_length"))
+@functools.partial(jax.jit,
+                   static_argnames=("threshold", "arc_length", "nms"))
 def fast_score_pallas(gray: jax.Array, threshold: float = 10.0,
-                      arc_length: int = 9) -> jax.Array:
+                      arc_length: int = 9, nms: bool = False) -> jax.Array:
     """FAST corner response as a row-tiled Pallas stencil (A/B variant of
-    features.fast.fast_score, same contract: score = Σ max(|ring −
-    center| − t, 0) on pixels passing the contiguous-arc test)."""
+    features.fast.fast_score, same contract: score = max threshold
+    keeping the corner, on pixels passing the contiguous-arc test).
+
+    ``nms=True`` fuses the 3×3 non-maximum suppression into the same
+    kernel: each row tile computes score for one extra halo row on each
+    side and pools in VMEM — the separate NMS pass (an 8.3 MB score-map
+    HBM round-trip, 0.073 ms at 1080p) disappears. Bit-identical to
+    ``nms_maxpool(fast_score_pallas(...))`` (scores are ≥ 0 and zeroed
+    on the 3-px border, so the out-of-image −inf vs 0 distinction of
+    reduce_window's SAME padding never changes a survivor).
+    """
     from kornia_tpu.features.fast import _RING
 
     h, w = gray.shape
-    halo = 3
-    row_t = 8
+    ext = 1 if nms else 0
+    halo = 3 + ext
+    # sublane tiles are 8 rows: with the NMS halo the stencil computes
+    # row_t + 2 rows, which pads to the next multiple of 8 — an 8-row
+    # tile would DOUBLE the vector work (10 → 16 rows, measured 0.30 →
+    # 0.44 ms at 1080p); 32-row tiles amortize the halo (34 → 40 rows,
+    # 1.25×) and win overall by skipping the separate NMS pass
+    row_t = 32 if nms else 8
+    rt_ext = row_t + 2 * ext
     pad_w = _round_up(w + 2 * halo, 128)
     h_pad = _round_up(h, row_t)
     g = jnp.pad(gray.astype(jnp.float32),
@@ -142,19 +159,29 @@ def fast_score_pallas(gray: jax.Array, threshold: float = 10.0,
 
     def kernel(src_ref, out_ref):
         i = pl.program_id(0)
-        tile = src_ref[pl.ds(i * row_t, row_t + 2 * halo), :]
-        center = tile[halo: halo + row_t, halo: halo + w]
+        # image rows [i·row_t − ext − 3, i·row_t + row_t + ext + 3);
+        # image row r lives at g row r + halo, so the slice starts at
+        # g row i·row_t (8-aligned, as Mosaic vector loads require)
+        tile = src_ref[pl.ds(i * row_t, rt_ext + 6), :]
+        center = tile[3: 3 + rt_ext, halo: halo + w]
         ring = jnp.stack([
-            tile[halo + dy: halo + dy + row_t, halo + dx: halo + dx + w]
+            tile[3 + dy: 3 + dy + rt_ext, halo + dx: halo + dx + w]
             for dy, dx in _RING
-        ])                                             # (16, row_t, w)
+        ])                                             # (16, rt_ext, w)
         diff = ring - center[None]
 
-        # identical contract to features.fast.fast_score: cv2 V measure
+        # identical contract to features.fast.fast_score: cv2 V measure.
+        # min/max over arc_length consecutive entries by log-step
+        # doubling (idempotent ops ⇒ the final overlapping roll is
+        # exact): 4 rolls instead of 8 at arc_length 9.
         def arc_reduce(v, op):
             acc = v
-            for k in range(1, arc_length):
-                acc = op(acc, jnp.roll(v, -k, axis=0))
+            c = 1
+            while 2 * c <= arc_length:
+                acc = op(acc, jnp.roll(acc, -c, axis=0))
+                c *= 2
+            if c < arc_length:
+                acc = op(acc, jnp.roll(acc, -(arc_length - c), axis=0))
             return acc
 
         bright = jnp.max(arc_reduce(diff, jnp.minimum), axis=0)
@@ -162,11 +189,25 @@ def fast_score_pallas(gray: jax.Array, threshold: float = 10.0,
         score = jnp.maximum(bright, dark)
         score = jnp.where(score > threshold, score, 0.0)
         # kill rows/cols whose ring touched the zero padding
-        row0 = i * row_t
-        ys = row0 + jax.lax.broadcasted_iota(jnp.int32, (row_t, w), 0)
-        xs = jax.lax.broadcasted_iota(jnp.int32, (row_t, w), 1)
+        row0 = i * row_t - ext
+        ys = row0 + jax.lax.broadcasted_iota(jnp.int32, (rt_ext, w), 0)
+        xs = jax.lax.broadcasted_iota(jnp.int32, (rt_ext, w), 1)
         valid = (ys >= 3) & (ys < h - 3) & (xs >= 3) & (xs < w - 3)
-        out_ref[...] = jnp.where(valid, score, 0.0)
+        score = jnp.where(valid, score, 0.0)
+        if not nms:
+            out_ref[...] = score
+            return
+        # in-VMEM 3×3 max-pool (cols via ±1 lane shifts with −inf
+        # fill, rows via the ext halo)
+        ninf = jnp.full((rt_ext, 1), -jnp.inf, jnp.float32)
+        m3c = jnp.maximum(
+            score,
+            jnp.maximum(
+                jnp.concatenate([ninf, score[:, :-1]], axis=1),
+                jnp.concatenate([score[:, 1:], ninf], axis=1)))
+        pooled = jnp.maximum(m3c[:-2], jnp.maximum(m3c[1:-1], m3c[2:]))
+        mid = score[1:-1]
+        out_ref[...] = jnp.where(mid >= pooled, mid, 0.0)
 
     out = pl.pallas_call(
         kernel,
@@ -302,3 +343,60 @@ def extract_windows_prepared(pad: jax.Array, img_shape, xy_int: jax.Array,
         interpret=_interpret(),
     )(xs, ys, pad)
     return out.reshape(k_pad, win_h, 128)[:k]
+
+
+def brief_sample_pallas(windows: jax.Array, rows: jax.Array,
+                        cols: jax.Array) -> jax.Array:
+    """Sample 512 rotated-BRIEF taps per keypoint from (K, 48, 128)
+    windows, entirely VMEM-resident.
+
+    The XLA formulation (features/orb.brief_from_windows fallback) runs
+    4 lane_gathers + one-hot row reductions through HBM — ~400 MB of
+    traffic at K=2048 (0.81 ms measured on v5e, the dominant ORB stage).
+    Here each grid step holds a block of windows in VMEM and, per tap
+    group of 128, does ONE in-register take_along_axis lane gather (the
+    one gather shape Mosaic vectorizes: exactly-128-lane operands along
+    lanes) followed by an iota==row one-hot multiply-sum — HBM traffic
+    collapses to one read of the windows (50 MB).
+
+    windows: (K, 48, 128) f32; rows/cols: (K, 512) int32 window-space
+    tap coordinates (clipped by the caller). Returns (K, 512) f32.
+    """
+    k, wh, ww = windows.shape
+    if (wh, ww) != (48, 128):
+        raise ValueError("brief_sample_pallas expects (K, 48, 128) windows")
+    grp = 8
+    k_pad = _round_up(max(k, grp), grp)
+    if k_pad != k:
+        windows = jnp.pad(windows, ((0, k_pad - k), (0, 0), (0, 0)))
+        rows = jnp.pad(rows, ((0, k_pad - k), (0, 0)))
+        cols = jnp.pad(cols, ((0, k_pad - k), (0, 0)))
+
+    def kernel(win_ref, row_ref, col_ref, out_ref):
+        iota_r = jax.lax.broadcasted_iota(jnp.int32, (wh, 128), 0)
+        for i in range(grp):
+            win = win_ref[i]                      # (48, 128)
+            for g in range(4):
+                cg = col_ref[i, g * 128:(g + 1) * 128]     # (128,)
+                rg = row_ref[i, g * 128:(g + 1) * 128]     # (128,)
+                idx = jnp.broadcast_to(cg[None, :], (wh, 128))
+                gathered = jnp.take_along_axis(win, idx, axis=1)
+                mask = iota_r == rg[None, :]
+                out_ref[i, g * 128:(g + 1) * 128] = jnp.sum(
+                    jnp.where(mask, gathered, 0.0), axis=0)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(k_pad // grp,),
+        in_specs=[pl.BlockSpec((grp, wh, ww), lambda t: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((grp, 512), lambda t: (t, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((grp, 512), lambda t: (t, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((grp, 512), lambda t: (t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k_pad, 512), jnp.float32),
+        interpret=_interpret(),
+    )(windows, rows, cols)
+    return out[:k]

@@ -128,7 +128,10 @@ class TestDetector:
         assert ds == []
 
     def test_real_photo_recall(self):
-        """Recall vs cv2.aruco on the reference's real-photo fixture."""
+        """FULL recall vs cv2.aruco on the reference's real-photo
+        fixture (14/14 since threshold_split=0.6 severed the white
+        leaks that merged tag interiors with the background — see
+        DetectorConfig.threshold_split)."""
         path = os.path.join(REF_DATA, "apriltags_tag36h11.jpg")
         img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
         if img is None:
@@ -138,8 +141,23 @@ class TestDetector:
             dic, cv2.aruco.DetectorParameters()).detectMarkers(img)
         n_ref = 0 if ids is None else len(ids)
         ds = at.AprilTagDecoder().decode(img)
-        assert len(ds) >= 0.8 * n_ref
+        assert len(ds) >= n_ref, (len(ds), n_ref)
         assert all(d.tag_id == 0 for d in ds)  # the board is all id 0
+
+    def test_real_photo_decimate2(self):
+        """decimate=2 on this fixture: the tags are ~56 px across, so
+        half-res leaves ~2.3 px per bit cell and the smaller tags are
+        physically undecodable — 6/14 survive, with either striding or
+        average-pool decimation (measured 2026-08-19; the full-recall
+        default stays quad_decimate=1)."""
+        path = os.path.join(REF_DATA, "apriltags_tag36h11.jpg")
+        img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
+        if img is None:
+            pytest.skip("reference fixture unavailable")
+        ds = at.AprilTagDecoder(at.DetectorConfig(
+            families=("tag36h11",), quad_decimate=2)).decode(img)
+        assert len(ds) >= 6
+        assert all(d.tag_id == 0 for d in ds)
 
     def test_other_family(self):
         fam = at.get_family("tag16h5")
@@ -193,3 +211,85 @@ class TestPose:
         pair = at.estimate_tag_pose(ds[0], k, 0.1)
         assert pair.best.translation[2] > 0
         assert pair.alternate.translation[2] > 0
+
+
+class TestStageParityVsCFixtures:
+    """Stage-level parity against the C apriltag library's committed
+    intermediate dumps (reference kornia-apriltag/tests/parity.rs
+    methodology; fixtures tests/data/apriltag_gradient_clusters.txt,
+    generated by the C library on tests/data/apriltag.png)."""
+
+    def _gray(self):
+        from PIL import Image as PILImage
+
+        path = os.path.join(REF_DATA, "apriltag.png")
+        if not os.path.exists(path):
+            pytest.skip("reference apriltag.png not available")
+        return np.asarray(PILImage.open(path).convert("L"))
+
+    def _fixture_clusters(self):
+        import re
+
+        path = os.path.join(REF_DATA, "apriltag_gradient_clusters.txt")
+        if not os.path.exists(path):
+            pytest.skip("reference gradient-cluster fixture not available")
+        clusters = []
+        for line in open(path):
+            pts = re.findall(r"\(x=(-?\d+) y=(-?\d+) gx=(-?\d+) gy=(-?\d+)\)",
+                             line)
+            if pts:
+                clusters.append({(int(x), int(y)) for x, y, _, _ in pts})
+        return clusters
+
+    def _my_clusters(self, gray):
+        import jax.numpy as jnp
+
+        from kornia_tpu.apriltag import threshold as thr_mod
+        from kornia_tpu.apriltag.detector import _boundary_points
+        from kornia_tpu.ops.connected_components import label_classes_host
+
+        threshim = np.asarray(thr_mod.adaptive_threshold(
+            jnp.asarray(gray), 4, 20))
+        labels = label_classes_host(threshim, skip=thr_mod.UNKNOWN)
+        keys, x2, y2 = _boundary_points(threshim, labels)
+        out = {}
+        for k in np.unique(keys):
+            m = keys == k
+            out[int(k)] = {(int(x), int(y))
+                           for x, y in zip(x2[m], y2[m])}
+        return out
+
+    def test_gradient_cluster_pixel_sets_match_c(self):
+        """Every C cluster (the doubled-coordinate black/white boundary
+        sets) must be reproduced by one of our (black,white)-keyed
+        clusters with IoU ≥ 0.9 — pins threshold + CCL + boundary
+        clustering in one shot."""
+        gray = self._gray()
+        want = self._fixture_clusters()
+        assert len(want) >= 2
+        mine = list(self._my_clusters(gray).values())
+        for i, c_set in enumerate(want):
+            best = max(
+                (len(c_set & m) / len(c_set | m) for m in mine),
+                default=0.0)
+            assert best >= 0.9, (i, len(c_set), best)
+
+    def test_quad_corners_match_c(self):
+        """fit_quads on apriltag.png: the C-library-pinned corners
+        [[27,3],[27,27],[3,27],[3,3]] ±1 px (reference quad.rs
+        test_fit_quads)."""
+        gray = self._gray()
+        os.environ["KORNIA_TPU_APRILTAG_MID"] = "numpy"
+        try:
+            dec = at.AprilTagDecoder(at.DetectorConfig(
+                families=("tag36h11",), quad_decimate=1))
+            dets = dec.decode(gray)
+        finally:
+            os.environ.pop("KORNIA_TPU_APRILTAG_MID", None)
+        assert len(dets) == 1
+        got = {(round(float(x)), round(float(y)))
+               for x, y in dets[0].corners}
+        want = {(27, 3), (27, 27), (3, 27), (3, 3)}
+        for wx, wy in want:
+            assert any(abs(gx - wx) <= 1 and abs(gy - wy) <= 1
+                       for gx, gy in got), (got, (wx, wy))

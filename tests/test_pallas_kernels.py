@@ -97,3 +97,50 @@ class TestExtractWindowsPallas:
             ref = np.asarray(orb._extract_windows(img, xy))
             got = np.asarray(pk.extract_windows_pallas(img, xy))
             np.testing.assert_array_equal(got, ref)
+
+
+def test_brief_sample_pallas_matches_xla(rng):
+    """The VMEM-resident BRIEF tap sampler (interpret mode on CPU) must
+    match the lane_gather + one-hot XLA formulation bit-for-bit."""
+    import jax.numpy as jnp
+    from kornia_tpu.features import orb
+    from kornia_tpu.ops.pallas_kernels import brief_sample_pallas
+
+    k = 37
+    win = jnp.asarray(rng.random((k, 48, 128)).astype(np.float32))
+    ang = jnp.asarray(rng.uniform(-np.pi, np.pi, k).astype(np.float32))
+    import os
+
+    for pattern in ("rublee2011", "seeded"):
+        # compute via both paths through the env switch
+        os.environ["KORNIA_TPU_BRIEF"] = "xla"
+        try:
+            b_xla = np.asarray(orb.brief_from_windows(win, ang, 7, pattern))
+        finally:
+            os.environ["KORNIA_TPU_BRIEF"] = "pallas"
+        try:
+            b_pl = np.asarray(orb.brief_from_windows(win, ang, 7, pattern))
+        finally:
+            os.environ.pop("KORNIA_TPU_BRIEF", None)
+        np.testing.assert_array_equal(b_pl, b_xla)
+
+
+def test_fast_score_fused_nms_matches_composition(rng):
+    """fast_score_pallas(nms=True) (interpret mode on CPU) must equal
+    nms_maxpool(fast_score(...)) bit-for-bit — including image borders
+    where reduce_window's -inf SAME padding meets the fused kernel's
+    zeroed halo rows."""
+    from kornia_tpu.features import fast
+    from kornia_tpu.ops.pallas_kernels import fast_score_pallas
+    import jax.numpy as jnp
+
+    for shape in ((64, 128), (57, 200)):
+        img = jnp.asarray(
+            (rng.random(shape) * 255).astype(np.uint8))
+        want = np.asarray(fast.nms_maxpool(fast.fast_score(img, 12.0)))
+        got = np.asarray(fast_score_pallas(img, 12.0, nms=True))
+        np.testing.assert_array_equal(got, want)
+        # and the nms=False contract is unchanged
+        np.testing.assert_array_equal(
+            np.asarray(fast_score_pallas(img, 12.0)),
+            np.asarray(fast.fast_score(img, 12.0)))
