@@ -174,6 +174,75 @@ def fast_detect(
     return topk_keypoints(s, max_keypoints)
 
 
+def _two_tier_select(gray, threshold_high, threshold_low, arc_length,
+                     cell_size):
+    """NMS'd FAST score with ORB-SLAM3's two-tier per-cell threshold.
+
+    ONE score pass + ONE NMS serve both tiers: the V measure is
+    threshold-independent (score = max t keeping the corner), so
+    fast_score(t_hi) ≡ gate(fast_score(t_lo), t_hi); and a pixel
+    surviving the gate (score > t_hi) can only be NMS-suppressed by a
+    neighbor with a LARGER score — itself above t_hi — so
+    nms(s_hi) ≡ gate(nms(s_lo)) on every surviving pixel. Exact, and
+    halves the detection cost (the score stencil + NMS dominate).
+    Cells with any t_hi survivor use the t_hi tier, else t_lo
+    (reference features/cells.rs:141-285)."""
+    s_lo = _score_nms_dispatch(gray, threshold_low, arc_length)
+    s_hi = jnp.where(s_lo > threshold_high, s_lo, 0.0)
+    cs = cell_size
+    has_hi = jax.lax.reduce_window(
+        s_hi, 0.0, jax.lax.max, (cs, cs), (cs, cs), "SAME") > 0
+    has_hi = jnp.repeat(jnp.repeat(has_hi, cs, 0), cs, 1)
+    return jnp.where(has_hi[: gray.shape[0], : gray.shape[1]], s_hi, s_lo)
+
+
+def cell_topk_packed(rank: jax.Array, cell_size: int, per_cell: int):
+    """Per-cell top-k without the (gy, cs, gx, cs) transpose + top_k.
+
+    ``rank`` is an (H, W) float32 map of INTEGER values in [0, 8191]
+    (0 = ineligible). Packs ``rank·2048 + (2047 − pos_in_cell)`` — exact
+    in f32 up to 2²⁴ — and takes ``per_cell`` rounds of a strided
+    reduce_window max + suppress. The position ride-along makes the
+    per-cell argmax decodable from the max VALUE alone, so there is no
+    scatter/gather and no cell-layout transpose. Selection (including
+    the lowest-row-major-index tie-break) is identical to
+    ``top_k(cells, per_cell)``; 4.6× faster on v5e (PERF_NOTES r4c).
+
+    Returns (xy (C·per_cell, 2) f32, score (C·per_cell,) f32) in the
+    same cells-major order as the top_k formulation. Requires
+    cell_size² ≤ 2048 (pos must fit 11 bits).
+    """
+    if cell_size * cell_size > 2048:
+        raise ValueError("cell_topk_packed needs cell_size^2 <= 2048")
+    h, w = rank.shape
+    cs = cell_size
+    gy, gx = -(-h // cs), -(-w // cs)
+    sp = jnp.pad(rank, ((0, gy * cs - h), (0, gx * cs - w)))
+    hh, ww = sp.shape
+    ys = jax.lax.broadcasted_iota(jnp.int32, (hh, ww), 0) % cs
+    xs = jax.lax.broadcasted_iota(jnp.int32, (hh, ww), 1) % cs
+    pos = (2047 - (ys * cs + xs)).astype(jnp.float32)
+    sp = jnp.where(sp > 0, sp * 2048.0 + pos, 0.0)
+    keys = []
+    for _ in range(per_cell):
+        m = jax.lax.reduce_window(
+            sp, 0.0, jax.lax.max, (cs, cs), (cs, cs), "VALID")
+        keys.append(m)
+        mup = jnp.repeat(jnp.repeat(m, cs, 0), cs, 1)
+        sp = jnp.where(sp == mup, 0.0, sp)
+    k = jnp.stack(keys)                              # (per_cell, gy, gx)
+    score = jnp.floor(k / 2048.0)
+    p = 2047.0 - (k - score * 2048.0)
+    py = jnp.floor(p / cs)
+    px = p - py * cs
+    cyo = (jnp.arange(gy, dtype=jnp.float32) * cs)[None, :, None]
+    cxo = (jnp.arange(gx, dtype=jnp.float32) * cs)[None, None, :]
+    xy = jnp.stack([px + cxo, py + cyo], axis=-1)    # (per_cell, gy, gx, 2)
+    xy = xy.transpose(1, 2, 0, 3).reshape(-1, 2)
+    score = score.transpose(1, 2, 0).reshape(-1)
+    return jnp.where(score[:, None] > 0, xy, 0.0), score
+
+
 def fast_detect_cells(
     gray: jax.Array,
     cell_size: int = 35,
@@ -186,29 +255,26 @@ def fast_detect_cells(
     (reference features/cells.rs:141-285): each cell first tries the high
     threshold; cells with no response fall back to the low threshold. Then
     a per-cell top-k enforces spatial uniformity (the quadtree contract).
+
+    For u8 inputs the V measure is integer-valued, so the per-cell
+    top-k runs as :func:`cell_topk_packed` (bit-identical selection,
+    no transpose/top_k — 0.084 → 0.018 ms at 480p on v5e); float
+    inputs keep the general top_k path.
     """
     h, w = gray.shape
-    # ONE score pass + ONE NMS serve both tiers: the V measure is
-    # threshold-independent (score = max t keeping the corner), so
-    # fast_score(t_hi) ≡ gate(fast_score(t_lo), t_hi); and a pixel
-    # surviving the gate (score > t_hi) can only be NMS-suppressed by a
-    # neighbor with a LARGER score — itself above t_hi — so
-    # nms(s_hi) ≡ gate(nms(s_lo)) on every surviving pixel. Exact, and
-    # halves the detection cost (the score stencil + NMS dominate).
-    s_lo = _score_nms_dispatch(gray, threshold_low, arc_length)
-    s_hi = jnp.where(s_lo > threshold_high, s_lo, 0.0)
+    sel = _two_tier_select(gray, threshold_high, threshold_low,
+                           arc_length, cell_size)
+
+    if (gray.dtype == jnp.uint8 and cell_size * cell_size <= 2048):
+        xy, score = cell_topk_packed(sel, cell_size, per_cell)
+        return FastKeypoints(xy=xy, score=score, mask=score > 0.0)
 
     gy = -(-h // cell_size)
     gx = -(-w // cell_size)
     ph, pw = gy * cell_size - h, gx * cell_size - w
-    pad = lambda a: jnp.pad(a, ((0, ph), (0, pw)))
-    cells_hi = pad(s_hi).reshape(gy, cell_size, gx, cell_size).transpose(0, 2, 1, 3)
-    cells_lo = pad(s_lo).reshape(gy, cell_size, gx, cell_size).transpose(0, 2, 1, 3)
-    cells_hi = cells_hi.reshape(gy * gx, cell_size * cell_size)
-    cells_lo = cells_lo.reshape(gy * gx, cell_size * cell_size)
-
-    has_hi = jnp.any(cells_hi > 0, axis=1, keepdims=True)
-    cells = jnp.where(has_hi, cells_hi, cells_lo)
+    cells = jnp.pad(sel, ((0, ph), (0, pw))).reshape(
+        gy, cell_size, gx, cell_size).transpose(0, 2, 1, 3)
+    cells = cells.reshape(gy * gx, cell_size * cell_size)
 
     vals, idx = jax.lax.top_k(cells, per_cell)  # (C, per_cell)
     cy = jnp.arange(gy * gx) // gx
@@ -219,3 +285,37 @@ def fast_detect_cells(
     score = vals.reshape(-1)
     mask = score > 0.0
     return FastKeypoints(xy=xy, score=score, mask=mask)
+
+
+def fast_harris_cells(
+    gray: jax.Array,
+    harris_map: jax.Array,
+    cell_size: int = 35,
+    threshold_high: float = 20.0,
+    threshold_low: float = 7.0,
+    per_cell: int = 8,
+    arc_length: int = 9,
+) -> FastKeypoints:
+    """FAST-gated, Harris-RANKED per-cell detection — OpenCV ORB's
+    HARRIS_SCORE retainment (FAST proposes, the Harris response at each
+    corner decides who survives; reference responses.rs:153 evaluates
+    Harris at FAST keypoints for exactly this ranking).
+
+    The Harris value at each NMS'd FAST corner is quantized to 13 bits
+    over the per-level eligible range and ranked in-cell by
+    :func:`cell_topk_packed` — no per-keypoint Harris windows, no
+    second top_k. Returned score = dequantized Harris (monotone in the
+    true ranking; candidates closer than range/8190 may swap,
+    immaterial to retainment quality).
+    """
+    sel = _two_tier_select(gray, threshold_high, threshold_low,
+                           arc_length, cell_size)
+    eligible = sel > 0.0
+    hmax = jnp.max(jnp.where(eligible, harris_map, -jnp.inf))
+    hmin = jnp.min(jnp.where(eligible, harris_map, jnp.inf))
+    span = jnp.maximum(hmax - hmin, 1e-12)
+    q = jnp.floor((harris_map - hmin) / span * 8190.0) + 1.0
+    q = jnp.where(eligible, jnp.clip(q, 1.0, 8191.0), 0.0)
+    xy, qv = cell_topk_packed(q, cell_size, per_cell)
+    score = jnp.where(qv > 0, (qv - 1.0) / 8190.0 * span + hmin, 0.0)
+    return FastKeypoints(xy=xy, score=score, mask=qv > 0.0)

@@ -295,32 +295,41 @@ def _process_level(
     # enough per-cell capacity that the level budget is reachable even when
     # responses concentrate in few cells (2× oversampling)
     per_cell = max(2, -(-2 * budget // n_cells))
-    kps = fast_detect_cells(
-        level_img,
-        cell_size=cfg.cell_size,
-        threshold_high=cfg.fast_threshold_high,
-        threshold_low=cfg.fast_threshold_low,
-        per_cell=per_cell,
-    )
     # global top-`budget` among cell winners keeps spatial spread (cells
     # already capped) while filling the level budget
     if cfg.harris_rescore:
         # reference contract (extractor.rs + responses.rs:153): FAST
-        # proposes ~2x candidates, Harris at the keypoints does the
-        # final ranking cut — stabilizes ordering across viewpoints
-        from kornia_tpu.features.responses import harris_at_windows
+        # proposes, Harris decides retainment (OpenCV HARRIS_SCORE).
+        # A dense central-diff Harris map ranks the NMS'd FAST
+        # survivors in-cell via the packed reduce_window top-k — no
+        # per-keypoint Harris windows and no second top_k stage
+        # (PERF_NOTES round 4c).
+        from kornia_tpu.features.fast import fast_harris_cells
+        from kornia_tpu.features.responses import harris_response
 
-        cand = min(2 * budget, kps.xy.shape[0])
-        v0, i0 = jax.lax.top_k(
-            jnp.where(kps.mask, kps.score, -jnp.inf), cand)
-        xy0 = kps.xy[i0]
-        h = harris_at_windows(gray_f, jnp.round(xy0).astype(jnp.int32))
-        h = jnp.where(v0 > 0.0, h, -jnp.inf)
-        vals, i1 = jax.lax.top_k(h, budget)
-        xy = xy0[i1]
+        hmap = harris_response(gray_f, k=0.04, block_size=5, sigma=1.0,
+                               grad="central")
+        kps = fast_harris_cells(
+            level_img,
+            hmap,
+            cell_size=cfg.cell_size,
+            threshold_high=cfg.fast_threshold_high,
+            threshold_low=cfg.fast_threshold_low,
+            per_cell=per_cell,
+        )
+        vals, idx = jax.lax.top_k(
+            jnp.where(kps.mask, kps.score, -jnp.inf), budget)
+        xy = kps.xy[idx]
         valid = jnp.isfinite(vals)
         vals = jnp.where(valid, vals, 0.0)
     else:
+        kps = fast_detect_cells(
+            level_img,
+            cell_size=cfg.cell_size,
+            threshold_high=cfg.fast_threshold_high,
+            threshold_low=cfg.fast_threshold_low,
+            per_cell=per_cell,
+        )
         vals, idx = jax.lax.top_k(
             jnp.where(kps.mask, kps.score, -jnp.inf), budget)
         xy = kps.xy[idx]

@@ -14,7 +14,16 @@ import jax.numpy as jnp
 from kornia_tpu.ops.filters import _conv_sep, gaussian_kernel1d, sobel
 
 
-def _grads(gray_f: jax.Array):
+def _grads(gray_f: jax.Array, kind: str = "sobel"):
+    if kind == "central":
+        # central differences (edge-replicated) — the gradient
+        # harris_at_windows uses; keeps dense-map rankings consistent
+        # with the windowed evaluator
+        p = jnp.pad(gray_f, 1, mode="edge")
+        h, w = gray_f.shape
+        gx = 0.5 * (p[1:-1, 2:] - p[1:-1, :-2])
+        gy = 0.5 * (p[2:, 1:-1] - p[:-2, 1:-1])
+        return gx, gy
     gx = sobel(gray_f[..., None], 1, 0)[..., 0]
     gy = sobel(gray_f[..., None], 0, 1)[..., 0]
     return gx, gy
@@ -29,15 +38,18 @@ def _window_kernel(block_size: int, sigma: float, window: str) -> np.ndarray:
 
 def harris_response(
     gray: jax.Array, k: float = 0.04, block_size: int = 5, sigma: float = 1.0,
-    window: str = "gaussian",
+    window: str = "gaussian", grad: str = "sobel",
 ) -> jax.Array:
     """Harris cornerness det(M) − k·tr(M)² (reference responses.rs:111-333).
 
     ``window="box"`` reproduces cv2.cornerHarris's box-summed structure
     tensor; "gaussian" is the reference's (and the classic) weighting.
+    ``grad="central"`` uses central differences — the same gradient as
+    :func:`harris_at_windows`, so the dense map ranks keypoints
+    identically to the windowed evaluator (away from borders).
     """
     x = gray.astype(jnp.float32)
-    gx, gy = _grads(x)
+    gx, gy = _grads(x, grad)
     kern = _window_kernel(block_size, sigma, window)
     sxx = _conv_sep((gx * gx)[..., None], kern, kern)[..., 0]
     syy = _conv_sep((gy * gy)[..., None], kern, kern)[..., 0]

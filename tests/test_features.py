@@ -47,6 +47,75 @@ class TestFast:
         assert len(bands) >= (h // 70) - 2
 
 
+class TestCellTopkPacked:
+    """The packed reduce_window per-cell top-k (fast.cell_topk_packed) must
+    select IDENTICALLY to the transpose+top_k formulation — including the
+    lowest-row-major-index tie-break (u8 FAST scores tie constantly)."""
+
+    def test_packed_matches_topk_u8(self, rng):
+        gray = jnp.asarray(rng.integers(0, 256, (480, 640), np.uint8))
+        # u8 input → packed path; f32 cast → general top_k path
+        kp = F.fast_detect_cells(gray, cell_size=35, per_cell=5)
+        kt = F.fast_detect_cells(gray.astype(jnp.float32), cell_size=35,
+                                 per_cell=5)
+        mp, mt = np.asarray(kp.mask), np.asarray(kt.mask)
+        assert (mp == mt).all()
+        assert (np.asarray(kp.xy)[mp] == np.asarray(kt.xy)[mt]).all()
+        assert (np.asarray(kp.score)[mp] == np.asarray(kt.score)[mt]).all()
+
+    def test_packed_tie_break_and_order(self):
+        # hand-built ties: two equal maxima per cell → lowest row-major wins
+        m = np.zeros((70, 70), np.float32)
+        m[2, 3] = 9.0
+        m[10, 5] = 9.0   # same cell (0,0), later row-major index
+        m[2, 40] = 4.0   # cell (0,1)
+        xy, score = F.cell_topk_packed(jnp.asarray(m), 35, 2)
+        xy, score = np.asarray(xy), np.asarray(score)
+        # cells-major order: cell(0,0) slots then cell(0,1), ...
+        assert score[0] == 9.0 and tuple(xy[0]) == (3.0, 2.0)
+        assert score[1] == 9.0 and tuple(xy[1]) == (5.0, 10.0)
+        assert score[2] == 4.0 and tuple(xy[2]) == (40.0, 2.0)
+        assert (score[3:] == 0.0).all()
+
+    def test_harris_cells_ranks_by_harris(self, dog_rgb):
+        """fast_harris_cells must pick, per cell, the FAST survivors with
+        the LARGEST dense-Harris response (OpenCV HARRIS_SCORE retainment),
+        and its dequantized score must be monotone in the true Harris."""
+        gray = cv2.cvtColor(dog_rgb, cv2.COLOR_RGB2GRAY)
+        g = jnp.asarray(gray)
+        hmap = R.harris_response(g.astype(jnp.float32), k=0.04,
+                                 block_size=5, sigma=1.0, grad="central")
+        per_cell, cs = 4, 35
+        kps = F.fast_harris_cells(g, hmap, cell_size=cs, per_cell=per_cell)
+        mask = np.asarray(kps.mask)
+        xy = np.asarray(kps.xy)[mask].astype(int)
+        sc = np.asarray(kps.score)[mask]
+        hm = np.asarray(hmap)
+        true_h = hm[xy[:, 1], xy[:, 0]]
+        # dequantized score tracks the true Harris to quantization error
+        # (the kernel quantizes over the FULL eligible range)
+        sel = np.asarray(F._two_tier_select(g, 20.0, 7.0, 9, cs))
+        elig_h = hm[sel > 0]
+        span = elig_h.max() - elig_h.min()
+        assert np.abs(sc - true_h).max() <= span / 8190 * 1.01 + 1e-9
+        # per-cell: selected = top-Harris among eligible (FAST ∩ NMS)
+        cells = {}
+        for (x, y), h in zip(xy, true_h):
+            cells.setdefault((y // cs, x // cs), []).append(h)
+        q = np.where(sel > 0, hm, -np.inf)
+        checked = 0
+        for (cy, cx), hs in cells.items():
+            block = q[cy * cs:(cy + 1) * cs, cx * cs:(cx + 1) * cs]
+            elig = np.sort(block[np.isfinite(block)])[::-1]
+            if len(elig) <= len(hs):
+                continue  # cell not full — trivially correct
+            # weakest selected ≥ strongest unselected (up to quant ties)
+            gap = span / 8190 * 1.01
+            assert min(hs) >= elig[len(hs)] - gap
+            checked += 1
+        assert checked > 10
+
+
 class TestResponses:
     def test_harris_matches_cv2_box_window(self, gray_small):
         resp = np.asarray(
