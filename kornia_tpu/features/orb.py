@@ -185,6 +185,23 @@ def orientation_ic(gray_f: jax.Array, xy: jax.Array) -> jax.Array:
     return jnp.arctan2(m01, m10)
 
 
+def _brief_tap_coords(angle: jax.Array, seed: int,
+                      pattern: str) -> Tuple[jax.Array, jax.Array]:
+    """(K, 512) int32 window-space (rows, cols) of the rotated BRIEF
+    taps, ordered [A(256), B(256)] and clipped to the window."""
+    pat = jnp.asarray(_resolve_pattern(pattern, seed))  # (256, 4)
+    ca, sa = jnp.cos(angle), jnp.sin(angle)
+    px = jnp.concatenate([pat[:, 0], pat[:, 2]]).astype(jnp.float32)
+    py = jnp.concatenate([pat[:, 1], pat[:, 3]]).astype(jnp.float32)
+    dx = jnp.round(px[None, :] * ca[:, None]
+                   - py[None, :] * sa[:, None]).astype(jnp.int32)
+    dy = jnp.round(px[None, :] * sa[:, None]
+                   + py[None, :] * ca[:, None]).astype(jnp.int32)
+    cols = jnp.clip(_WIN_CX + dx, 0, _WIN_W - 1)       # (K, 512)
+    rows = jnp.clip(_WIN_CY + dy, 0, _WIN_H - 1)       # (K, 512)
+    return rows, cols
+
+
 def brief_from_windows(windows: jax.Array, angle: jax.Array,
                        seed: int = 7,
                        pattern: str = "rublee2011") -> jax.Array:
@@ -196,19 +213,8 @@ def brief_from_windows(windows: jax.Array, angle: jax.Array,
     """
     from kornia_tpu.ops.pallas_kernels import lane_gather
 
-    pat = jnp.asarray(_resolve_pattern(pattern, seed))  # (256, 4)
-    ca, sa = jnp.cos(angle), jnp.sin(angle)
     k = windows.shape[0]
-
-    # taps ordered [A(256), B(256)]
-    px = jnp.concatenate([pat[:, 0], pat[:, 2]]).astype(jnp.float32)
-    py = jnp.concatenate([pat[:, 1], pat[:, 3]]).astype(jnp.float32)
-    dx = jnp.round(px[None, :] * ca[:, None]
-                   - py[None, :] * sa[:, None]).astype(jnp.int32)
-    dy = jnp.round(px[None, :] * sa[:, None]
-                   + py[None, :] * ca[:, None]).astype(jnp.int32)
-    cols = jnp.clip(_WIN_CX + dx, 0, _WIN_W - 1)       # (K, 512)
-    rows = jnp.clip(_WIN_CY + dy, 0, _WIN_H - 1)       # (K, 512)
+    rows, cols = _brief_tap_coords(angle, seed, pattern)
 
     from kornia_tpu.utils.tracing import env_variant
 
@@ -281,14 +287,66 @@ def unpack_descriptors(packed: jax.Array) -> jax.Array:
     return bits.reshape(packed.shape[0], -1)
 
 
-def _process_level(
+def _extract_windows_packed(frames: List[jax.Array],
+                            xys: List[jax.Array]) -> jax.Array:
+    """ONE window-extraction call over all pyramid levels.
+
+    Per-level prepared (edge-replicated, align-padded) buffers are
+    stacked into a single canvas and every keypoint's y is offset by
+    its level's canvas start — the extractor then runs ONCE at the
+    full keypoint count instead of once per level. Window values are
+    bit-identical to per-level extraction (each level's clamp
+    semantics are baked into its own prepared rows; the zero padding
+    between levels is never read). Kills 2·(n_levels−1) kernel
+    launches + pipeline drains per frame (PERF_NOTES round 4d).
+    """
+    if jax.default_backend() == "tpu":
+        from kornia_tpu.ops.pallas_kernels import (
+            extract_windows_prepared, prepare_window_source)
+
+        pads = [prepare_window_source(f, _WIN_H, _WIN_CY, _WIN_CX)
+                for f in frames]
+        wmax = max(int(p.shape[1]) for p in pads)
+        pads = [p if int(p.shape[1]) == wmax
+                else jnp.pad(p, ((0, 0), (0, wmax - int(p.shape[1]))))
+                for p in pads]
+        starts = np.cumsum([0] + [int(p.shape[0]) for p in pads])
+        canvas = jnp.concatenate(pads, axis=0)
+        xy = jnp.concatenate([
+            x + jnp.asarray([0, s], jnp.int32)[None]
+            for x, s in zip(xys, starts)])
+        wimg = max(int(f.shape[1]) for f in frames)
+        return extract_windows_prepared(
+            canvas, (int(starts[-1]), wimg), xy, _WIN_H)
+
+    pads = [jnp.pad(f, ((_WIN_CY, _WIN_H - _WIN_CY),
+                        (_WIN_CX, _WIN_W - _WIN_CX)), mode="edge")
+            for f in frames]
+    wmax = max(int(p.shape[1]) for p in pads)
+    pads = [p if int(p.shape[1]) == wmax
+            else jnp.pad(p, ((0, 0), (0, wmax - int(p.shape[1]))))
+            for p in pads]
+    starts = np.cumsum([0] + [int(p.shape[0]) for p in pads])
+    canvas = jnp.concatenate(pads, axis=0)
+    xy = jnp.concatenate([
+        x + jnp.asarray([0, s], jnp.int32)[None]
+        for x, s in zip(xys, starts)])
+
+    def one(c):
+        return jax.lax.dynamic_slice(canvas, (c[1], c[0]),
+                                     (_WIN_H, _WIN_W))
+
+    return jax.vmap(one)(xy)
+
+
+def _select_level(
     level_img: jax.Array,
     budget: int,
-    scale: float,
-    octave: int,
     cfg: OrbConfig,
 ):
-    """One pyramid octave (reference process_octave_u8, extractor.rs:713)."""
+    """Detection + budgeted selection for one pyramid octave
+    (the detection half of reference process_octave_u8,
+    extractor.rs:713). Returns (xy level-coords, vals, valid)."""
     gray_f = level_img.astype(jnp.float32)
     lh, lw = level_img.shape
     n_cells = (-(-lh // cfg.cell_size)) * (-(-lw // cfg.cell_size))
@@ -334,36 +392,16 @@ def _process_level(
             jnp.where(kps.mask, kps.score, -jnp.inf), budget)
         xy = kps.xy[idx]
         valid = vals > 0.0
-
-    blurred = gaussian_blur(gray_f[..., None], (7, 7), 2.0)[..., 0]
-    if os.environ.get("KORNIA_TPU_ORB", "windows") == "windows":
-        # gather-free describe: per-kp (48, 128) windows via dynamic
-        # slices, BRIEF taps via Mosaic lane gather (PERF_NOTES.md —
-        # scattered gathers run at scalar rate on TPU, ~30 ms/frame)
-        xy_int = jnp.round(xy).astype(jnp.int32)
-        ang = orientation_from_windows(_extract_windows(gray_f, xy_int))
-        desc = brief_from_windows(
-            _extract_windows(blurred, xy_int), ang, cfg.pattern_seed,
-            cfg.pattern)
-    else:
-        ang = orientation_ic(gray_f, xy)
-        desc = brief_describe(blurred, xy, ang, cfg.pattern_seed,
-                              cfg.pattern)
-    return (
-        xy * scale,
-        jnp.where(valid, vals, 0.0),
-        ang,
-        jnp.full((budget,), octave, jnp.int32),
-        desc,
-        valid,
-    )
+    return xy, jnp.where(valid, vals, 0.0), valid
 
 
 def orb_detect_and_describe(gray_u8: jax.Array, cfg: OrbConfig = OrbConfig()) -> OrbFeatures:
     """Full multi-scale ORB (reference OrbDetector::detect_and_extract_u8,
-    extractor.rs:763). The pyramid chain is sequential but each level's
-    detect/describe compiles into one program; XLA overlaps independent
-    subgraphs (the reference pipelines levels with rayon::scope)."""
+    extractor.rs:763). Detection + selection run per level (fixed-shape
+    programs; XLA overlaps independent subgraphs the way the reference
+    pipelines levels with rayon::scope); the describe stage packs all
+    levels into ONE window-extraction canvas and runs orientation +
+    BRIEF once at the full keypoint count (PERF_NOTES round 4d)."""
     budgets = _level_budgets(cfg)
     h, w = gray_u8.shape
     levels = [gray_u8]
@@ -372,17 +410,39 @@ def orb_detect_and_describe(gray_u8: jax.Array, cfg: OrbConfig = OrbConfig()) ->
         nh, nw = int(round(h / s)), int(round(w / s))
         levels.append(resize(levels[-1], (nh, nw), mode="bilinear"))
 
-    parts = []
-    for i, (img, budget) in enumerate(zip(levels, budgets)):
-        parts.append(_process_level(img, budget, cfg.scale_factor**i, i, cfg))
+    sels, grays_f, blurs = [], [], []
+    for img, budget in zip(levels, budgets):
+        sels.append(_select_level(img, budget, cfg))
+        gf = img.astype(jnp.float32)
+        grays_f.append(gf)
+        blurs.append(gaussian_blur(gf[..., None], (7, 7), 2.0)[..., 0])
 
-    xy = jnp.concatenate([p[0] for p in parts])
-    score = jnp.concatenate([p[1] for p in parts])
-    ang = jnp.concatenate([p[2] for p in parts])
-    octv = jnp.concatenate([p[3] for p in parts])
-    desc = jnp.concatenate([p[4] for p in parts])
-    mask = jnp.concatenate([p[5] for p in parts])
-    return OrbFeatures(xy=xy, score=score, angle=ang, octave=octv, descriptors=desc, mask=mask)
+    if os.environ.get("KORNIA_TPU_ORB", "windows") == "windows":
+        # gather-free describe: per-kp (48, 128) windows via contiguous
+        # slices from ONE packed canvas, BRIEF taps via Mosaic lane
+        # gather (PERF_NOTES.md — scattered gathers run at scalar rate)
+        xy_ints = [jnp.round(xy).astype(jnp.int32) for xy, _, _ in sels]
+        ang = orientation_from_windows(
+            _extract_windows_packed(grays_f, xy_ints))
+        desc = brief_from_windows(
+            _extract_windows_packed(blurs, xy_ints), ang,
+            cfg.pattern_seed, cfg.pattern)
+    else:
+        angs = [orientation_ic(gf, xy)
+                for gf, (xy, _, _) in zip(grays_f, sels)]
+        desc = jnp.concatenate([
+            brief_describe(bl, xy, a, cfg.pattern_seed, cfg.pattern)
+            for bl, (xy, _, _), a in zip(blurs, sels, angs)])
+        ang = jnp.concatenate(angs)
+
+    xy = jnp.concatenate([s[0] * cfg.scale_factor**i
+                          for i, s in enumerate(sels)])
+    score = jnp.concatenate([s[1] for s in sels])
+    octv = jnp.concatenate([jnp.full((b,), i, jnp.int32)
+                            for i, b in enumerate(budgets)])
+    mask = jnp.concatenate([s[2] for s in sels])
+    return OrbFeatures(xy=xy, score=score, angle=ang, octave=octv,
+                       descriptors=desc, mask=mask)
 
 
 def orb_detect_and_describe_quadtree(

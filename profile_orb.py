@@ -14,7 +14,7 @@ def main():
 
     from kornia_tpu.features import fast, orb
     from kornia_tpu.features.orb import (
-        OrbConfig, _level_budgets, _process_level, _extract_windows,
+        OrbConfig, _level_budgets, _select_level, _extract_windows,
         orientation_from_windows, brief_from_windows)
     from kornia_tpu.ops.filters import gaussian_blur
     from kornia_tpu.ops.resize import resize
