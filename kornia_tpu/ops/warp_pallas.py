@@ -507,10 +507,15 @@ def _run_from_bounds(src, ho, wo, h, w, rmin, rmax, cmin, cmax,
                      parked, nsel, fill, kappa,
                      data=None, mc=None, map_form: str = "data",
                      nearest: bool = False, border: bool = False,
-                     use_box: bool = False):
+                     use_box: bool = False, nsel_narrow: int = _NSEL_N):
     """Shared execution tail: pad the source, derive per-chunk fetch
     bases + staging schedule + capacity gates from the chunk bounds,
-    pick the kernel tier, run. Returns (out (C, Ho, Wo) f32, ok)."""
+    pick the kernel tier, run. Returns (out (C, Ho, Wo) f32, ok).
+
+    ``nsel_narrow`` widens the narrow tier's candidate count for
+    callers whose bounds carry analytic slack (the mapless sheared
+    path: corner bounds are ±(2+2|κ|) wider than the data-exact
+    bounds, so rotations need one extra candidate to stay narrow)."""
     ch, h_arr, w_arr = src.shape
     slice_r = _round_up(nsel + 16, 8)
     hc = _round_up(ho, _BH)
@@ -522,7 +527,7 @@ def _run_from_bounds(src, ho, wo, h, w, rmin, rmax, cmin, cmax,
     # 127 (not 126) so exact-unit-rate maps qualify: 128 lanes at rate
     # 1 span exactly 127; the lane-128 right tap is special-cased in
     # the kernel. Narrow capacity is a subset of wide capacity.
-    ok_narrow = (jnp.all(rmax - rmin <= _NSEL_N - 2)
+    ok_narrow = (jnp.all(rmax - rmin <= nsel_narrow - 2)
                  & jnp.all(cmax - cmin <= 127))
 
     hp = max(_round_up(h_arr + _PT + slice_r + 8, 8), _HBB)
@@ -584,7 +589,7 @@ def _run_from_bounds(src, ho, wo, h, w, rmin, rmax, cmin, cmax,
 
     out = jax.lax.cond(
         ok_narrow,
-        lambda _: run_tier(_CWN, 1, _NSEL_N),
+        lambda _: run_tier(_CWN, 1, nsel_narrow),
         lambda _: run_tier(_CW, 2, nsel),
         operand=None)
     return out[:, :ho, :wo], ok_wide & ok_dma
@@ -657,6 +662,66 @@ def _mapless_bounds(coefs, box, hc, wc, h, w, map_form, nearest,
         | (jnp.max(sx, axis=(0, 1)) < -1.0 - m)
         | (jnp.min(sx, axis=(0, 1)) > w + 1.0 + m))
     return rmin, rmax, cmin, cmax, ok_extra, parked
+
+
+def _mapless_bounds_sheared(coefs, box, kappa, s0, hc, wc, h, w,
+                            nearest, border):
+    """Chunk-corner fetch bounds for the PRE-SHEARED affine kernel —
+    the piece that previously forced full data maps onto the sheared
+    path (round-2b note #4).
+
+    The kernel's per-lane row metric is
+        q = floor(sy') + floor(κ·floor(sx')) − s0      (and the right
+    tap's floor(κ·(floor(sx')+1)), which is q or q+1 for |κ| ≤ 1).
+    q itself mixes two floor staircases with cancelling slopes, so its
+    chunk extrema do NOT sit at corners — but the affine combination
+        u = sy' + κ·sx'
+    does (u is affine in the destination pixel, and by construction of
+    κ = −d'/a' its x-gradient is ~0, so u is almost constant along a
+    chunk row). Sandwiching the floors gives, for either sign of κ,
+        q ∈ [u − |κ| − 2,  u + |κ|] − s0,
+    i.e. corner bounds on u widened by the ±(2 + 2|κ|) analytic slack.
+    That slack costs ONE extra narrow-tier candidate (nsel_narrow 7)
+    versus the data-exact bounds — and deletes the two full-resolution
+    maps, their pads, and four full-res chunk reductions that
+    dominated the sheared path's cost (0.27 ms at 1080p).
+
+    Returns (rmin, rmax, cmin, cmax, parked) in the same convention as
+    :func:`_mapless_bounds` (row bounds are on q + _PT − riota).
+    """
+    i8 = jnp.arange(hc // 8, dtype=jnp.float32) * 8
+    j128 = jnp.arange(wc // 128, dtype=jnp.float32) * 128
+    gy = jnp.stack([i8, i8 + 7])[:, None, :, None]
+    gx = jnp.stack([j128, j128 + 127])[None, :, None, :]
+    c = coefs
+    sx = c[0] * gx + c[1] * gy + c[2]
+    sy = c[3] * gx + c[4] * gy + c[5]
+    if border:
+        sx = jnp.clip(sx, box[0], box[1])
+        sy = jnp.clip(sy, box[2], box[3])
+    if nearest:
+        sx = jnp.floor(sx + 0.5)
+        sy = jnp.floor(sy + 0.5)
+    sx = jnp.clip(sx, -1e9, 1e9)
+    sy = jnp.clip(sy, -1e9, 1e9)
+    u = sy + kappa * sx
+    akap = jnp.abs(kappa)
+
+    riota_c = jnp.asarray([0.0, 7.0], jnp.float32)[:, None, None, None]
+    # ±1/16 absorbs f32 evaluation noise of u vs the kernel's exact
+    # floor chain at synthetic exact-integer crossings
+    rmin = (jnp.min(u - riota_c, axis=(0, 1))
+            - akap - 2.0625 + _PT - s0)
+    rmax = (jnp.max(u - riota_c, axis=(0, 1))
+            + akap + 0.0625 + _PT - s0)
+    cmin = jnp.min(jnp.floor(sx), axis=(0, 1)) + _PL
+    cmax = jnp.max(jnp.floor(sx), axis=(0, 1)) + _PL
+    parked = (
+        (jnp.max(sy, axis=(0, 1)) < box[2] - 1.0)
+        | (jnp.min(sy, axis=(0, 1)) > box[3] + 1.0)
+        | (jnp.max(sx, axis=(0, 1)) < box[0] - 1.0)
+        | (jnp.min(sx, axis=(0, 1)) > box[1] + 1.0))
+    return rmin, rmax, cmin, cmax, parked
 
 
 def _prepare_and_run_mapless(src, coefs, box, out_hw, nsel, fill,
@@ -930,37 +995,7 @@ def _warp_exact_common(img: jax.Array, coefs: jax.Array,
             border=border)
         return out, jnp.asarray(True)
 
-    def sheared_branch(_):
-        # The sheared path keeps the DATA-map route: its per-lane row
-        # metric is floor(sy') + floor(kappa*floor(sx')) whose two
-        # staircases have cancelling slopes by construction — corner
-        # evaluation cannot bound such a non-monotone mix tightly, so
-        # exact per-chunk bounds need the full maps. They are built
-        # HERE, inside the cond branch, so the (common) direct path
-        # never materializes them.
-        gx, gy = jnp.meshgrid(jnp.arange(new_w, dtype=jnp.float32),
-                              jnp.arange(new_h, dtype=jnp.float32),
-                              indexing="xy")
-        sx, sy = eval_pt(gx, gy)
-        smf = jnp.float32(s - 1)
-        sxp = jax.lax.switch(k, [
-            lambda: sx, lambda: sy,
-            lambda: smf - sx, lambda: smf - sy])
-        syp = jax.lax.switch(k, [
-            lambda: sy, lambda: smf - sx,
-            lambda: smf - sy, lambda: sx])
-        # push out-of-content samples far out so they read as invalid
-        oob = ((syp < ylo - 1.0) | (syp > yhi + 1.0)
-               | (sxp < xlo - 1.0) | (sxp > xhi + 1.0))
-        sxp = jnp.where(oob, -1e6, sxp)
-        syp = jnp.where(oob, -1e6, syp)
-        if border:
-            sxp = jnp.clip(sxp, xlo, xhi)
-            syp = jnp.clip(syp, ylo, yhi)
-        if nearest:
-            sxp = jnp.floor(sxp + 0.5)
-            syp = jnp.floor(syp + 0.5)
-
+    def _sheared_source():
         # rotated content, already TRANSPOSED for the shear kernel:
         # srcT = rot90(P, k).T collapses to pure flips for odd k
         # (rot90(P,1).T = fliplr(P), rot90(P,3).T = flipud(P)) and one
@@ -985,19 +1020,98 @@ def _warp_exact_common(img: jax.Array, coefs: jax.Array,
         def shear_one(srcT2d):
             return _lane_shift_pallas(srcT2d, shift, ht).T
 
-        t_chw = jax.vmap(shear_one)(chw_t)
-        out, okk = _prepare_and_run(
-            t_chw, sxp, syp, nsel=nsel, fill=float(fill_value),
-            kappa=jnp.stack([kq, s0]), orig_hw=(s, s))
+        return jax.vmap(shear_one)(chw_t)
+
+    def _gate_sheared(okk):
         okk = okk & kappa_ok
         if float(fill_value) != 0.0 and padding_mode == "zeros":
             # the square canvas's zero padding stands in for the border
             # constant, which is only exact for fill == 0
             okk = jnp.asarray(False)
-        return out, okk
+        return okk
 
-    out_fast, ok = jax.lax.cond(ok_direct, direct_branch,
-                                sheared_branch, operand=None)
+    def sheared_mapless_branch(_):
+        # MAPLESS sheared path (affine only): the rot-k composed map
+        # is itself affine, so the kernel evaluates it in-register and
+        # fetch bounds come from _mapless_bounds_sheared's corner
+        # sandwich — the full-resolution map arrays, their pads and
+        # four chunk reductions (0.27 ms at 1080p) never exist. The
+        # analytic ±(2+2|κ|) slack costs one extra candidate on each
+        # tier (narrow 7, wide nsel+2), so every map the data-exact
+        # gates admitted is still admitted (data spread + slack ≤
+        # data gate + 2).
+        smf = jnp.float32(s - 1)
+        c = coefs
+
+        def _row_x():                                  # sxp coefs
+            return jax.lax.switch(k, [
+                lambda: jnp.stack([c[0], c[1], c[2]]),
+                lambda: jnp.stack([c[3], c[4], c[5]]),
+                lambda: jnp.stack([-c[0], -c[1], smf - c[2]]),
+                lambda: jnp.stack([-c[3], -c[4], smf - c[5]])])
+
+        def _row_y():                                  # syp coefs
+            return jax.lax.switch(k, [
+                lambda: jnp.stack([c[3], c[4], c[5]]),
+                lambda: jnp.stack([-c[0], -c[1], smf - c[2]]),
+                lambda: jnp.stack([-c[3], -c[4], smf - c[5]]),
+                lambda: jnp.stack([c[0], c[1], c[2]])])
+
+        coefs_p = jnp.concatenate(
+            [_row_x(), _row_y(),
+             jnp.asarray([0.0, 0.0, 1.0], jnp.float32)])
+        box_p = jnp.stack([xlo, xhi, ylo, yhi])
+        rmin, rmax, cmin, cmax, parked = _mapless_bounds_sheared(
+            coefs_p, box_p, kappa, s0, hc_d, wc_d, s, s,
+            nearest, border)
+        mc = jax.lax.bitcast_convert_type(
+            jnp.concatenate([coefs_p, box_p]), jnp.int32)
+        out, okk = _run_from_bounds(
+            _sheared_source(), new_h, new_w, s, s,
+            rmin, rmax, cmin, cmax, parked=parked, nsel=nsel + 2,
+            fill=float(fill_value), kappa=jnp.stack([kq, s0]),
+            mc=mc, map_form="affine", nearest=nearest, border=border,
+            use_box=not border, nsel_narrow=_NSEL_N + 1)
+        return out, _gate_sheared(okk)
+
+    def sheared_branch(_):
+        # Data-map sheared path (kept for PERSPECTIVE maps: the rot-k
+        # composed homography's u = sy' + κ·sx' is not affine, so the
+        # corner sandwich doesn't bound it; affine maps ride
+        # sheared_mapless_branch instead).
+        gx, gy = jnp.meshgrid(jnp.arange(new_w, dtype=jnp.float32),
+                              jnp.arange(new_h, dtype=jnp.float32),
+                              indexing="xy")
+        sx, sy = eval_pt(gx, gy)
+        smf = jnp.float32(s - 1)
+        sxp = jax.lax.switch(k, [
+            lambda: sx, lambda: sy,
+            lambda: smf - sx, lambda: smf - sy])
+        syp = jax.lax.switch(k, [
+            lambda: sy, lambda: smf - sx,
+            lambda: smf - sy, lambda: sx])
+        # push out-of-content samples far out so they read as invalid
+        oob = ((syp < ylo - 1.0) | (syp > yhi + 1.0)
+               | (sxp < xlo - 1.0) | (sxp > xhi + 1.0))
+        sxp = jnp.where(oob, -1e6, sxp)
+        syp = jnp.where(oob, -1e6, syp)
+        if border:
+            sxp = jnp.clip(sxp, xlo, xhi)
+            syp = jnp.clip(syp, ylo, yhi)
+        if nearest:
+            sxp = jnp.floor(sxp + 0.5)
+            syp = jnp.floor(syp + 0.5)
+
+        out, okk = _prepare_and_run(
+            _sheared_source(), sxp, syp, nsel=nsel,
+            fill=float(fill_value), kappa=jnp.stack([kq, s0]),
+            orig_hw=(s, s))
+        return out, _gate_sheared(okk)
+
+    out_fast, ok = jax.lax.cond(
+        ok_direct, direct_branch,
+        sheared_mapless_branch if form == "affine" else sheared_branch,
+        operand=None)
 
     if fallback:
         def slow(_):
