@@ -1147,10 +1147,11 @@ def warp_affine_exact(img: jax.Array, m: jax.Array,
     gather formulation. Slope-measured at 1080p on v5e: ~0.35-0.45 ms
     for near-axis maps (translate/scale/rot<~15deg — the MAPLESS
     direct path: the map is evaluated in-register from coefficients,
-    no map arrays exist), ~0.85 ms for large rotations (rot90-
-    normalize + integer pre-shear + data-map chunk kernel), vs ~60 ms
-    for the scalar-gather path and 0.842 ms for the reference's CUDA
-    kernel on AGX Orin (BASELINE.md [A]).
+    no map arrays exist), ~0.73 ms for large rotations (rot90-
+    normalize + integer pre-shear + MAPLESS sheared chunk kernel with
+    corner-sandwich bounds, PERF_NOTES round 4e), vs ~60 ms for the
+    scalar-gather path and 0.842 ms for the reference's CUDA kernel
+    on AGX Orin (BASELINE.md [A]).
     """
     mm = m.astype(jnp.float32)
     a = mm[:, :2]
