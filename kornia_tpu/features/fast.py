@@ -23,10 +23,8 @@ import jax.numpy as jnp
 # ((dy, dx) offsets) — the standard FAST-16 ring.
 _RING = (
     (-3, 0), (-3, 1), (-2, 2), (-1, 3), (0, 3), (1, 3), (2, 2), (3, 1),
-    (3, 0), (3, -1), (2, -2), (1, -3), (0, -3), (-1, -3), (-2, -2), (-3, -3 + 1),
+    (3, 0), (3, -1), (2, -2), (1, -3), (0, -3), (-1, -3), (-2, -2), (-3, -1),
 )
-# fix last entry: (-3,-1)
-_RING = _RING[:15] + ((-3, -1),)
 
 
 def _ring_stack(gray_f: jax.Array) -> jax.Array:
@@ -190,10 +188,18 @@ def _two_tier_select(gray, threshold_high, threshold_low, arc_length,
     s_lo = _score_nms_dispatch(gray, threshold_low, arc_length)
     s_hi = jnp.where(s_lo > threshold_high, s_lo, 0.0)
     cs = cell_size
+    h, w = gray.shape
+    gy, gx = -(-h // cs), -(-w // cs)
+    # Top-left-anchored cell grid: pad high edges only, so the gate's
+    # cells coincide exactly with the selection cells used by
+    # cell_topk_packed / the top_k path (XLA's SAME padding splits
+    # low/high and would shift the grid by up to cs/2 when H or W is
+    # not a multiple of cs).
     has_hi = jax.lax.reduce_window(
-        s_hi, 0.0, jax.lax.max, (cs, cs), (cs, cs), "SAME") > 0
+        s_hi, 0.0, jax.lax.max, (cs, cs), (cs, cs),
+        ((0, gy * cs - h), (0, gx * cs - w))) > 0
     has_hi = jnp.repeat(jnp.repeat(has_hi, cs, 0), cs, 1)
-    return jnp.where(has_hi[: gray.shape[0], : gray.shape[1]], s_hi, s_lo)
+    return jnp.where(has_hi[:h, :w], s_hi, s_lo)
 
 
 def cell_topk_packed(rank: jax.Array, cell_size: int, per_cell: int):
@@ -243,6 +249,28 @@ def cell_topk_packed(rank: jax.Array, cell_size: int, per_cell: int):
     return jnp.where(score[:, None] > 0, xy, 0.0), score
 
 
+def _cell_topk_general(sel: jax.Array, cell_size: int, per_cell: int):
+    """Per-cell top-k via the transpose + top_k path (any cell size).
+
+    Same cells-major output order and lowest-index tie-break as
+    :func:`cell_topk_packed`; used when cell_size² > 2048.
+    """
+    h, w = sel.shape
+    gy = -(-h // cell_size)
+    gx = -(-w // cell_size)
+    ph, pw = gy * cell_size - h, gx * cell_size - w
+    cells = jnp.pad(sel, ((0, ph), (0, pw))).reshape(
+        gy, cell_size, gx, cell_size).transpose(0, 2, 1, 3)
+    cells = cells.reshape(gy * gx, cell_size * cell_size)
+    vals, idx = jax.lax.top_k(cells, per_cell)  # (C, per_cell)
+    cy = jnp.arange(gy * gx) // gx
+    cx = jnp.arange(gy * gx) % gx
+    py = idx // cell_size + (cy * cell_size)[:, None]
+    px = idx % cell_size + (cx * cell_size)[:, None]
+    xy = jnp.stack([px, py], axis=-1).reshape(-1, 2).astype(jnp.float32)
+    return xy, vals.reshape(-1)
+
+
 def fast_detect_cells(
     gray: jax.Array,
     cell_size: int = 35,
@@ -269,22 +297,8 @@ def fast_detect_cells(
         xy, score = cell_topk_packed(sel, cell_size, per_cell)
         return FastKeypoints(xy=xy, score=score, mask=score > 0.0)
 
-    gy = -(-h // cell_size)
-    gx = -(-w // cell_size)
-    ph, pw = gy * cell_size - h, gx * cell_size - w
-    cells = jnp.pad(sel, ((0, ph), (0, pw))).reshape(
-        gy, cell_size, gx, cell_size).transpose(0, 2, 1, 3)
-    cells = cells.reshape(gy * gx, cell_size * cell_size)
-
-    vals, idx = jax.lax.top_k(cells, per_cell)  # (C, per_cell)
-    cy = jnp.arange(gy * gx) // gx
-    cx = jnp.arange(gy * gx) % gx
-    py = idx // cell_size + (cy * cell_size)[:, None]
-    px = idx % cell_size + (cx * cell_size)[:, None]
-    xy = jnp.stack([px, py], axis=-1).reshape(-1, 2).astype(jnp.float32)
-    score = vals.reshape(-1)
-    mask = score > 0.0
-    return FastKeypoints(xy=xy, score=score, mask=mask)
+    xy, score = _cell_topk_general(sel, cell_size, per_cell)
+    return FastKeypoints(xy=xy, score=score, mask=score > 0.0)
 
 
 def fast_harris_cells(
@@ -316,6 +330,9 @@ def fast_harris_cells(
     span = jnp.maximum(hmax - hmin, 1e-12)
     q = jnp.floor((harris_map - hmin) / span * 8190.0) + 1.0
     q = jnp.where(eligible, jnp.clip(q, 1.0, 8191.0), 0.0)
-    xy, qv = cell_topk_packed(q, cell_size, per_cell)
+    if cell_size * cell_size <= 2048:
+        xy, qv = cell_topk_packed(q, cell_size, per_cell)
+    else:
+        xy, qv = _cell_topk_general(q, cell_size, per_cell)
     score = jnp.where(qv > 0, (qv - 1.0) / 8190.0 * span + hmin, 0.0)
     return FastKeypoints(xy=xy, score=score, mask=qv > 0.0)

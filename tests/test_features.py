@@ -116,6 +116,34 @@ class TestCellTopkPacked:
         assert checked > 10
 
 
+class TestTwoTierGate:
+    def test_gate_anchored_to_selection_cells_non_divisible(self):
+        """Regression (ADVICE r4): the hi/lo gate's cell grid must be
+        top-left-anchored like the selection cells. With XLA SAME padding
+        (split low/high) a 100×130 image with cs=35 shifts the gate grid
+        by up to cs/2, assigning survivors to the wrong cell: a cell
+        wrongly gated hi with no hi survivor yields ZERO keypoints."""
+        img = np.zeros((100, 130), np.uint8)
+        img[30, 30] = 200   # hi-tier survivor, selection cell (0, 0)
+        img[32, 20] = 12    # lo-only corner, same cell → must be killed
+        img[10, 60] = 12    # lo-only corner, cell (0, 1) → must survive
+        sel = np.asarray(F._two_tier_select(jnp.asarray(img), 20.0, 7.0, 9, 35))
+        assert sel[30, 30] > 20.0
+        assert sel[32, 20] == 0.0, "cell (0,0) has a hi survivor; lo corner must be gated out"
+        assert sel[10, 60] > 0.0, "cell (0,1) has no hi survivor; lo corner must remain"
+
+    def test_harris_cells_large_cell_size_falls_back(self, dog_rgb):
+        """Regression (ADVICE r4): cell_size ≥ 46 (cs² > 2048) must route
+        through the general top_k path instead of raising in
+        cell_topk_packed."""
+        gray = cv2.cvtColor(dog_rgb, cv2.COLOR_RGB2GRAY)
+        g = jnp.asarray(gray)
+        hmap = R.harris_response(g.astype(jnp.float32), k=0.04,
+                                 block_size=5, sigma=1.0, grad="central")
+        kps = F.fast_harris_cells(g, hmap, cell_size=50, per_cell=4)
+        assert int(np.asarray(kps.mask).sum()) > 10
+
+
 class TestResponses:
     def test_harris_matches_cv2_box_window(self, gray_small):
         resp = np.asarray(
