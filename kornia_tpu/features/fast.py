@@ -16,6 +16,7 @@ from __future__ import annotations
 import functools
 from typing import NamedTuple, Tuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -136,10 +137,15 @@ def _score_dispatch(gray, threshold, arc_length):
     return fast_score(gray, threshold, arc_length)
 
 
-def _score_nms_dispatch(gray, threshold, arc_length):
+def _score_nms_dispatch(gray, threshold, arc_length, border_mask=None):
     """score + 3×3 NMS: ONE fused Pallas pass on TPU (the separate NMS
     pass costs an 8.3 MB score-map HBM round-trip at 1080p); the XLA
-    composition elsewhere. Bit-identical outputs."""
+    composition elsewhere. Bit-identical outputs.
+
+    ``border_mask`` (a pallas_kernels.StaticMask, 0/1) replaces the
+    image-border kill with an arbitrary region-of-interest kill — the
+    cv2 ``detect(image, mask)`` analogue — applied to the score BEFORE
+    the NMS, exactly like the border kill it replaces."""
     import jax
 
     from kornia_tpu.utils.tracing import env_variant
@@ -148,8 +154,12 @@ def _score_nms_dispatch(gray, threshold, arc_length):
     if env_variant("fast", default) == "pallas":
         from kornia_tpu.ops.pallas_kernels import fast_score_pallas
 
-        return fast_score_pallas(gray, threshold, arc_length, nms=True)
-    return nms_maxpool(fast_score(gray, threshold, arc_length))
+        return fast_score_pallas(gray, threshold, arc_length, nms=True,
+                                 border_mask=border_mask)
+    s = fast_score(gray, threshold, arc_length)
+    if border_mask is not None:
+        s = s * jnp.asarray(border_mask.arr)
+    return nms_maxpool(s)
 
 
 def fast_detect(
@@ -177,7 +187,7 @@ def fast_detect(
 
 
 def _two_tier_select(gray, threshold_high, threshold_low, arc_length,
-                     cell_size):
+                     cell_size, border_mask=None):
     """NMS'd FAST score with ORB-SLAM3's two-tier per-cell threshold.
 
     ONE score pass + ONE NMS serve both tiers: the V measure is
@@ -189,7 +199,8 @@ def _two_tier_select(gray, threshold_high, threshold_low, arc_length,
     halves the detection cost (the score stencil + NMS dominate).
     Cells with any t_hi survivor use the t_hi tier, else t_lo
     (reference features/cells.rs:141-285)."""
-    s_lo = _score_nms_dispatch(gray, threshold_low, arc_length)
+    s_lo = _score_nms_dispatch(gray, threshold_low, arc_length,
+                               border_mask=border_mask)
     s_hi = jnp.where(s_lo > threshold_high, s_lo, 0.0)
     cs = cell_size
     h, w = gray.shape

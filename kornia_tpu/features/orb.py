@@ -185,10 +185,14 @@ def orientation_ic(gray_f: jax.Array, xy: jax.Array) -> jax.Array:
     return jnp.arctan2(m01, m10)
 
 
-def _brief_tap_coords(angle: jax.Array, seed: int,
-                      pattern: str) -> Tuple[jax.Array, jax.Array]:
+def _brief_tap_coords(angle: jax.Array, seed: int, pattern: str,
+                      half_w: int = None) -> Tuple[jax.Array, jax.Array]:
     """(K, 512) int32 window-space (rows, cols) of the rotated BRIEF
-    taps, ordered [A(256), B(256)] and clipped to the window."""
+    taps, ordered [A(256), B(256)] and clipped to the window.
+    ``half_w`` re-bases the columns for a narrow window centered at
+    lane ``half_w`` (the paired layout); the clip is never active
+    either way (rotated taps reach ≤ ±20 < 32), so values are
+    identical."""
     pat = jnp.asarray(_resolve_pattern(pattern, seed))  # (256, 4)
     ca, sa = jnp.cos(angle), jnp.sin(angle)
     px = jnp.concatenate([pat[:, 0], pat[:, 2]]).astype(jnp.float32)
@@ -197,8 +201,12 @@ def _brief_tap_coords(angle: jax.Array, seed: int,
                    - py[None, :] * sa[:, None]).astype(jnp.int32)
     dy = jnp.round(px[None, :] * sa[:, None]
                    + py[None, :] * ca[:, None]).astype(jnp.int32)
-    cols = jnp.clip(_WIN_CX + dx, 0, _WIN_W - 1)       # (K, 512)
-    rows = jnp.clip(_WIN_CY + dy, 0, _WIN_H - 1)       # (K, 512)
+    if half_w is None:
+        cols = jnp.clip(_WIN_CX + dx, 0, _WIN_W - 1)   # (K, 512)
+        rows = jnp.clip(_WIN_CY + dy, 0, _WIN_H - 1)   # (K, 512)
+    else:
+        cols = jnp.clip(half_w + dx, 0, 2 * half_w - 1)
+        rows = jnp.clip(_PAIR_CY + dy, 0, _PAIR_WIN_H - 1)
     return rows, cols
 
 
@@ -339,22 +347,93 @@ def _extract_windows_packed(frames: List[jax.Array],
     return jax.vmap(one)(xy)
 
 
-def _select_level(
-    level_img: jax.Array,
-    budget: int,
-    cfg: OrbConfig,
-):
-    """Detection + budgeted selection for one pyramid octave
-    (the detection half of reference process_octave_u8,
-    extractor.rs:713). Returns (xy level-coords, vals, valid)."""
+_PAIR_CX = (32, 96)   # per-half centers in the paired window layout
+_PAIR_WIN_H = 40      # rows: rotated taps reach ≤ ±19 of the center,
+_PAIR_CY = 20         # so 40 rows suffice (48 is the unpaired layout)
+
+
+def _extract_windows_packed_paired(frames: List[jax.Array],
+                                   xys: List[jax.Array]) -> jax.Array:
+    """Paired variant of :func:`_extract_windows_packed`: keypoints 2i
+    and 2i+1 share one 128-lane window ((K/2, 48, 128), halves centered
+    at lanes 32 / 96). Bit-identical window values (ORB consumers read
+    ≤ ±20 lanes of the center); HALF the extraction traffic — the
+    describe stage is bandwidth-bound (PERF_NOTES round 5b). K must be
+    even (callers pad budgets)."""
+    if jax.default_backend() == "tpu":
+        from kornia_tpu.ops.pallas_kernels import (
+            extract_windows_prepared_paired, prepare_window_source)
+
+        pads = [prepare_window_source(f, _PAIR_WIN_H, _PAIR_CY, _WIN_CX)
+                for f in frames]
+        wmax = max(int(p.shape[1]) for p in pads)
+        pads = [p if int(p.shape[1]) == wmax
+                else jnp.pad(p, ((0, 0), (0, wmax - int(p.shape[1]))))
+                for p in pads]
+        starts = np.cumsum([0] + [int(p.shape[0]) for p in pads])
+        canvas = jnp.concatenate(pads, axis=0)
+        xy = jnp.concatenate([
+            x + jnp.asarray([0, s], jnp.int32)[None]
+            for x, s in zip(xys, starts)])
+        wimg = max(int(f.shape[1]) for f in frames)
+        return extract_windows_prepared_paired(
+            canvas, (int(starts[-1]), wimg), xy, _PAIR_WIN_H)
+
+    full = _extract_windows_packed(frames, xys)          # (K, 48, 128)
+    full = full[:, _WIN_CY - _PAIR_CY: _WIN_CY - _PAIR_CY + _PAIR_WIN_H]
+    a = full[0::2, :, _WIN_CX - 32: _WIN_CX + 32]
+    b = full[1::2, :, _WIN_CX - 32: _WIN_CX + 32]
+    return jnp.concatenate([a, b], axis=2)
+
+
+def orientation_from_windows_paired(windows: jax.Array) -> jax.Array:
+    """Intensity-centroid orientation from paired (K/2, 48, 128)
+    windows → (K,) radians interleaved back to keypoint order."""
+    mask = jnp.asarray(_circular_mask())
+    offs = jnp.arange(-_HALF, _HALF + 1, dtype=jnp.float32)
+    angs = []
+    for cx in _PAIR_CX:
+        patches = windows[:, _PAIR_CY - _HALF: _PAIR_CY + _HALF + 1,
+                          cx - _HALF: cx + _HALF + 1]
+        m10 = jnp.sum(patches * mask * offs[None, None, :], axis=(1, 2))
+        m01 = jnp.sum(patches * mask * offs[None, :, None], axis=(1, 2))
+        angs.append(jnp.arctan2(m01, m10))
+    return jnp.stack(angs, axis=1).reshape(-1)
+
+
+def brief_from_windows_paired(windows: jax.Array, angle: jax.Array,
+                              seed: int = 7,
+                              pattern: str = "rublee2011") -> jax.Array:
+    """Rotated BRIEF-256 from paired (K/2, 48, 128) blurred windows and
+    (K,) angles. Each pair's 1024 tap coordinates (A's 512 at lane base
+    32, B's at 96) go through ONE brief_sample_pallas pass — same
+    gather count as unpaired, half the window read traffic."""
+    k = angle.shape[0]
+    rows, cols = _brief_tap_coords(angle, seed, pattern, half_w=32)
+    rows = rows.reshape(k // 2, 1024)
+    cols = (cols.reshape(k // 2, 2, 512)
+            + jnp.asarray([0, 64], jnp.int32)[None, :, None]
+            ).reshape(k // 2, 1024)
+    if jax.default_backend() == "tpu":
+        from kornia_tpu.ops.pallas_kernels import brief_sample_pallas
+
+        s = brief_sample_pallas(windows, rows, cols)   # (K/2, 1024)
+    else:
+        s = jnp.take_along_axis(
+            windows.reshape(k // 2, -1), rows * 128 + cols, axis=1)
+    s = s.reshape(k, 512)
+    return (s[:, :256] < s[:, 256:]).astype(jnp.uint8)
+
+
+def _level_candidates(level_img: jax.Array, budget: int, cfg: OrbConfig):
+    """Per-cell-capped candidates for one pyramid octave: (xy (C, 2),
+    score (C,) with −inf marking invalid slots)."""
     gray_f = level_img.astype(jnp.float32)
     lh, lw = level_img.shape
     n_cells = (-(-lh // cfg.cell_size)) * (-(-lw // cfg.cell_size))
     # enough per-cell capacity that the level budget is reachable even when
     # responses concentrate in few cells (2× oversampling)
     per_cell = max(2, -(-2 * budget // n_cells))
-    # global top-`budget` among cell winners keeps spatial spread (cells
-    # already capped) while filling the level budget
     if cfg.harris_rescore:
         # reference contract (extractor.rs + responses.rs:153): FAST
         # proposes, Harris decides retainment (OpenCV HARRIS_SCORE).
@@ -375,11 +454,6 @@ def _select_level(
             threshold_low=cfg.fast_threshold_low,
             per_cell=per_cell,
         )
-        vals, idx = jax.lax.top_k(
-            jnp.where(kps.mask, kps.score, -jnp.inf), budget)
-        xy = kps.xy[idx]
-        valid = jnp.isfinite(vals)
-        vals = jnp.where(valid, vals, 0.0)
     else:
         kps = fast_detect_cells(
             level_img,
@@ -388,10 +462,24 @@ def _select_level(
             threshold_low=cfg.fast_threshold_low,
             per_cell=per_cell,
         )
-        vals, idx = jax.lax.top_k(
-            jnp.where(kps.mask, kps.score, -jnp.inf), budget)
-        xy = kps.xy[idx]
-        valid = vals > 0.0
+    return kps.xy, jnp.where(kps.mask, kps.score, -jnp.inf)
+
+
+def _select_level(
+    level_img: jax.Array,
+    budget: int,
+    cfg: OrbConfig,
+):
+    """Detection + budgeted selection for one pyramid octave
+    (the detection half of reference process_octave_u8,
+    extractor.rs:713). Returns (xy level-coords, vals, valid).
+
+    Global top-`budget` among cell winners keeps spatial spread (cells
+    already capped) while filling the level budget."""
+    xy_all, scores = _level_candidates(level_img, budget, cfg)
+    vals, idx = jax.lax.top_k(scores, budget)
+    xy = xy_all[idx]
+    valid = jnp.isfinite(vals)
     return xy, jnp.where(valid, vals, 0.0), valid
 
 
@@ -410,23 +498,42 @@ def orb_detect_and_describe(gray_u8: jax.Array, cfg: OrbConfig = OrbConfig()) ->
         nh, nw = int(round(h / s)), int(round(w / s))
         levels.append(resize(levels[-1], (nh, nw), mode="bilinear"))
 
-    sels, grays_f, blurs = [], [], []
-    for img, budget in zip(levels, budgets):
-        sels.append(_select_level(img, budget, cfg))
+    from kornia_tpu.utils.tracing import env_variant
+
+    # per-level selection programs: measured FASTER than both a
+    # level-packed detection canvas (0.45 vs 0.67 ms — padded-width
+    # waste dominates, launches inside one jit are cheap) and grouped
+    # packed-cells rounds / batched top_k (0.46 vs 0.49; the 8 top_k
+    # calls cost only 0.0095 ms total) — PERF_NOTES round 5b
+    sels = [_select_level(img, budget, cfg)
+            for img, budget in zip(levels, budgets)]
+    grays_f, blurs = [], []
+    for img in levels:
         gf = img.astype(jnp.float32)
         grays_f.append(gf)
         blurs.append(gaussian_blur(gf[..., None], (7, 7), 2.0)[..., 0])
 
     if os.environ.get("KORNIA_TPU_ORB", "windows") == "windows":
-        # gather-free describe: per-kp (48, 128) windows via contiguous
-        # slices from ONE packed canvas, BRIEF taps via Mosaic lane
-        # gather (PERF_NOTES.md — scattered gathers run at scalar rate)
+        # gather-free describe: per-kp windows via contiguous slices
+        # from ONE packed canvas, BRIEF taps via Mosaic lane gather
+        # (PERF_NOTES.md — scattered gathers run at scalar rate)
         xy_ints = [jnp.round(xy).astype(jnp.int32) for xy, _, _ in sels]
-        ang = orientation_from_windows(
-            _extract_windows_packed(grays_f, xy_ints))
-        desc = brief_from_windows(
-            _extract_windows_packed(blurs, xy_ints), ang,
-            cfg.pattern_seed, cfg.pattern)
+        if (sum(budgets) % 2 == 0
+                and env_variant("orb_pair", "paired") == "paired"):
+            # two keypoints per 128-lane window: half the window
+            # traffic, bit-identical (PERF_NOTES round 5b);
+            # KORNIA_TPU_ORB_PAIR=unpaired restores single windows
+            ang = orientation_from_windows_paired(
+                _extract_windows_packed_paired(grays_f, xy_ints))
+            desc = brief_from_windows_paired(
+                _extract_windows_packed_paired(blurs, xy_ints), ang,
+                cfg.pattern_seed, cfg.pattern)
+        else:
+            ang = orientation_from_windows(
+                _extract_windows_packed(grays_f, xy_ints))
+            desc = brief_from_windows(
+                _extract_windows_packed(blurs, xy_ints), ang,
+                cfg.pattern_seed, cfg.pattern)
     else:
         angs = [orientation_ic(gf, xy)
                 for gf, (xy, _, _) in zip(grays_f, sels)]

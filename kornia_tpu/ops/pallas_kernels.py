@@ -40,6 +40,20 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+class StaticMask:
+    """Identity-hashed numpy-array holder for static jit arguments.
+
+    Static jit args must be hashable; hashing a megabyte mask per call
+    would dominate dispatch, so callers create ONE wrapper per layout
+    (e.g. via an lru_cache keyed on shapes) and the jit cache keys on
+    object identity."""
+
+    __slots__ = ("arr",)
+
+    def __init__(self, arr):
+        self.arr = np.asarray(arr, np.float32)
+
+
 @functools.partial(
     jax.jit, static_argnames=("out_h", "out_w", "mean", "std"))
 def fused_preprocess_pallas(
@@ -124,9 +138,11 @@ def fused_preprocess_pallas(
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("threshold", "arc_length", "nms"))
+                   static_argnames=("threshold", "arc_length", "nms",
+                                    "border_mask"))
 def fast_score_pallas(gray: jax.Array, threshold: float = 10.0,
-                      arc_length: int = 9, nms: bool = False) -> jax.Array:
+                      arc_length: int = 9, nms: bool = False,
+                      border_mask: "StaticMask | None" = None) -> jax.Array:
     """FAST corner response as a row-tiled Pallas stencil (A/B variant of
     features.fast.fast_score, same contract: score = max threshold
     keeping the corner, on pixels passing the contiguous-arc test).
@@ -138,6 +154,12 @@ def fast_score_pallas(gray: jax.Array, threshold: float = 10.0,
     ``nms_maxpool(fast_score_pallas(...))`` (scores are ≥ 0 and zeroed
     on the 3-px border, so the out-of-image −inf vs 0 distinction of
     reduce_window's SAME padding never changes a survivor).
+
+    ``border_mask`` (a :class:`StaticMask` over (H, W) 0/1 f32)
+    replaces the global 3-px border kill with an arbitrary
+    region-of-interest kill (cv2's ``detect(image, mask)`` analogue),
+    applied to the score BEFORE the fused NMS exactly like the border
+    kill it replaces.
     """
     from kornia_tpu.features.fast import _RING
 
@@ -157,7 +179,16 @@ def fast_score_pallas(gray: jax.Array, threshold: float = 10.0,
                 ((halo, halo + h_pad - h), (halo, pad_w - w - halo)))
     n_tiles = h_pad // row_t
 
-    def kernel(src_ref, out_ref):
+    if border_mask is not None:
+        # mask content at row offset `ext` so the per-tile slice start
+        # i·row_t is sublane-aligned (Mosaic requires aligned starts)
+        m = np.zeros((_round_up(h_pad + 2 * ext, 8), pad_w), np.float32)
+        m[ext: ext + h, :w] = border_mask.arr
+        m = jnp.asarray(m)
+
+    def kernel(*refs):
+        src_ref = refs[0]
+        out_ref = refs[-1]
         i = pl.program_id(0)
         # image rows [i·row_t − ext − 3, i·row_t + row_t + ext + 3);
         # image row r lives at g row r + halo, so the slice starts at
@@ -196,12 +227,17 @@ def fast_score_pallas(gray: jax.Array, threshold: float = 10.0,
         # by Mosaic on this target) and the output contract
         score = jnp.maximum(bright, dark).astype(jnp.float32)
         score = jnp.where(score > threshold, score, 0.0)
-        # kill rows/cols whose ring touched the zero padding
-        row0 = i * row_t - ext
-        ys = row0 + jax.lax.broadcasted_iota(jnp.int32, (rt_ext, w), 0)
-        xs = jax.lax.broadcasted_iota(jnp.int32, (rt_ext, w), 1)
-        valid = (ys >= 3) & (ys < h - 3) & (xs >= 3) & (xs < w - 3)
-        score = jnp.where(valid, score, 0.0)
+        if border_mask is not None:
+            mtile = refs[1][pl.ds(i * row_t, rt_ext), :w]
+            score = score * mtile
+        else:
+            # kill rows/cols whose ring touched the zero padding
+            row0 = i * row_t - ext
+            ys = row0 + jax.lax.broadcasted_iota(
+                jnp.int32, (rt_ext, w), 0)
+            xs = jax.lax.broadcasted_iota(jnp.int32, (rt_ext, w), 1)
+            valid = (ys >= 3) & (ys < h - 3) & (xs >= 3) & (xs < w - 3)
+            score = jnp.where(valid, score, 0.0)
         if not nms:
             out_ref[...] = score
             return
@@ -217,15 +253,19 @@ def fast_score_pallas(gray: jax.Array, threshold: float = 10.0,
         mid = score[1:-1]
         out_ref[...] = jnp.where(mid >= pooled, mid, 0.0)
 
+    operands = (g,) if border_mask is None else (g, m)
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)
+                  for _ in operands],
         out_specs=pl.BlockSpec((row_t, w), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((h_pad, w), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 2**20),
         interpret=_interpret(),
-    )(g)
+    )(*operands)
     return out[:h]
 
 
@@ -353,6 +393,74 @@ def extract_windows_prepared(pad: jax.Array, img_shape, xy_int: jax.Array,
     return out.reshape(k_pad, win_h, 128)[:k]
 
 
+def extract_windows_prepared_paired(pad: jax.Array, img_shape,
+                                    xy_int: jax.Array,
+                                    win_h: int = 48) -> jax.Array:
+    """Paired window extraction: TWO keypoints per 128-lane window.
+
+    Keypoints 2i and 2i+1 share output row block i — each gets a
+    64-lane half centered at lane 32 / 96. ORB's consumers never read
+    beyond ±20 lanes of the center (rotated BRIEF taps reach ≤ ±20,
+    the orientation patch ±15), so a 64-lane half preserves the
+    128-lane window's values bit-exactly (the prepare_window_source
+    buffer pads ±64, covering every ±32 half-slice), while the
+    extraction writes HALF the bytes — the describe stage is
+    bandwidth-bound on window traffic (PERF_NOTES round 5b).
+
+    Returns (ceil(K/2), win_h, 128) f32.
+    """
+    h, w = img_shape
+    k = xy_int.shape[0]
+    k2 = -(-k // 2)
+    grp = 8
+    k2_pad = _round_up(max(k2, grp), grp)
+
+    xy = jnp.clip(xy_int, 0, np.asarray([w - 1, h - 1], np.int32))
+    if 2 * k2_pad != k:
+        xy = jnp.pad(xy, ((0, 2 * k2_pad - k), (0, 0)))
+    xs, ys = xy[:, 0], xy[:, 1]
+
+    def kernel(xs_ref, ys_ref, src_ref, out_ref):
+        lane = jax.lax.broadcasted_iota(jnp.int32, (win_h, 128), 1)
+        t = pl.program_id(0)
+        for i in range(grp):
+            p = 2 * (t * grp + i)
+            halves = []
+            for s in range(2):
+                cx = xs_ref[p + s]
+                cy = ys_ref[p + s]
+                cra = pl.multiple_of((cy // 8) * 8, 8)
+                cla = pl.multiple_of((cx // 128) * 128, 128)
+                win = src_ref[pl.ds(cra, win_h + 8), pl.ds(cla, 256)]
+                up = jax.lax.rem(win_h + 8 - (cy - cra), win_h + 8)
+                # roll the half's content to lanes [64s, 64s+64): the
+                # 128-wide layout centers at lane 64; shifting by
+                # −32 + 64·s re-centers at lane 32 / 96
+                rolled = pltpu.roll(
+                    pltpu.roll(win, cla - cx - 32 + 64 * s, 1), up, 0)
+                halves.append(rolled[:win_h, :128])
+            out_ref[pl.ds(i * win_h, win_h), :] = jnp.where(
+                lane < 64, halves[0], halves[1])
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(k2_pad // grp,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((grp * win_h, 128),
+                                   lambda t, *_: (t, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((k2_pad * win_h, 128),
+                                       jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024),
+        interpret=_interpret(),
+    )(xs, ys, pad)
+    return out.reshape(k2_pad, win_h, 128)[:k2]
+
+
 def brief_sample_pallas(windows: jax.Array, rows: jax.Array,
                         cols: jax.Array) -> jax.Array:
     """Sample 512 rotated-BRIEF taps per keypoint from (K, 48, 128)
@@ -367,12 +475,18 @@ def brief_sample_pallas(windows: jax.Array, rows: jax.Array,
     lanes) followed by an iota==row one-hot multiply-sum — HBM traffic
     collapses to one read of the windows (50 MB).
 
-    windows: (K, 48, 128) f32; rows/cols: (K, 512) int32 window-space
-    tap coordinates (clipped by the caller). Returns (K, 512) f32.
+    windows: (K, 48, 128) f32; rows/cols: (K, T) int32 window-space tap
+    coordinates (clipped by the caller; T a multiple of 128 — 512 for
+    the classic layout, 1024 for the paired two-keypoints-per-window
+    layout). Returns (K, T) f32.
     """
     k, wh, ww = windows.shape
-    if (wh, ww) != (48, 128):
-        raise ValueError("brief_sample_pallas expects (K, 48, 128) windows")
+    if ww != 128 or wh % 8:
+        raise ValueError(
+            "brief_sample_pallas expects (K, 8m, 128) windows")
+    t_taps = rows.shape[1]
+    if t_taps % 128:
+        raise ValueError("tap count must be a multiple of 128")
     grp = 8
     k_pad = _round_up(max(k, grp), grp)
     if k_pad != k:
@@ -384,7 +498,7 @@ def brief_sample_pallas(windows: jax.Array, rows: jax.Array,
         iota_r = jax.lax.broadcasted_iota(jnp.int32, (wh, 128), 0)
         for i in range(grp):
             win = win_ref[i]                      # (48, 128)
-            for g in range(4):
+            for g in range(t_taps // 128):
                 cg = col_ref[i, g * 128:(g + 1) * 128]     # (128,)
                 rg = row_ref[i, g * 128:(g + 1) * 128]     # (128,)
                 idx = jnp.broadcast_to(cg[None, :], (wh, 128))
@@ -398,13 +512,13 @@ def brief_sample_pallas(windows: jax.Array, rows: jax.Array,
         grid=(k_pad // grp,),
         in_specs=[pl.BlockSpec((grp, wh, ww), lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((grp, 512), lambda t: (t, 0),
+                  pl.BlockSpec((grp, t_taps), lambda t: (t, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((grp, 512), lambda t: (t, 0),
+                  pl.BlockSpec((grp, t_taps), lambda t: (t, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((grp, 512), lambda t: (t, 0),
+        out_specs=pl.BlockSpec((grp, t_taps), lambda t: (t, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((k_pad, 512), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((k_pad, t_taps), jnp.float32),
         interpret=_interpret(),
     )(windows, rows, cols)
     return out[:k]

@@ -144,6 +144,45 @@ class TestTwoTierGate:
         assert int(np.asarray(kps.mask).sum()) > 10
 
 
+class TestPairedWindows:
+    def test_roi_border_mask_detection(self):
+        """fast_score with a border/ROI mask (the cv2 detect-mask
+        analogue): masked regions yield no corners; unmasked behavior
+        matches the default border kill."""
+        from kornia_tpu.ops.pallas_kernels import StaticMask
+        img = np.zeros((96, 160), np.uint8)
+        img[20, 20] = 200
+        img[40, 100] = 200
+        h, w = img.shape
+        full = np.zeros((h, w), np.float32)
+        full[3: h - 3, 3: w - 3] = 1.0
+        left = full.copy()
+        left[:, 80:] = 0.0        # mask out the right half
+        s_full = np.asarray(F._score_nms_dispatch(
+            jnp.asarray(img), 10.0, 9, border_mask=StaticMask(full)))
+        s_left = np.asarray(F._score_nms_dispatch(
+            jnp.asarray(img), 10.0, 9, border_mask=StaticMask(left)))
+        s_none = np.asarray(F._score_nms_dispatch(jnp.asarray(img), 10.0, 9))
+        assert (s_full == s_none).all()
+        assert s_left[20, 20] > 0 and s_left[40, 100] == 0.0
+
+    def test_orb_paired_vs_unpaired_env(self, dog_rgb, monkeypatch):
+        """Full ORB output parity between the paired-window describe
+        default and the unpaired env fallback (two keypoints per
+        128-lane window read bit-identical values)."""
+        gray = jnp.asarray(cv2.cvtColor(dog_rgb, cv2.COLOR_RGB2GRAY))
+        cfg = O.OrbConfig(n_features=500, n_levels=3)
+        fc = O.orb_detect_and_describe(gray, cfg)
+        monkeypatch.setenv("KORNIA_TPU_ORB_PAIR", "unpaired")
+        fl = O.orb_detect_and_describe(gray, cfg)
+        mc, ml = np.asarray(fc.mask), np.asarray(fl.mask)
+        assert (mc == ml).all()
+        assert (np.asarray(fc.xy)[mc] == np.asarray(fl.xy)[ml]).all()
+        assert (np.asarray(fc.angle)[mc] == np.asarray(fl.angle)[ml]).all()
+        assert (np.asarray(fc.descriptors)[mc]
+                == np.asarray(fl.descriptors)[ml]).all()
+
+
 class TestResponses:
     def test_harris_matches_cv2_box_window(self, gray_small):
         resp = np.asarray(
