@@ -201,9 +201,16 @@ def _two_tier_select(gray, threshold_high, threshold_low, arc_length,
     (reference features/cells.rs:141-285)."""
     s_lo = _score_nms_dispatch(gray, threshold_low, arc_length,
                                border_mask=border_mask)
+    return _two_tier_gate(s_lo, threshold_high, cell_size)
+
+
+def _two_tier_gate(s_lo: jax.Array, threshold_high: float,
+                   cell_size: int) -> jax.Array:
+    """The per-cell hi/lo gating half of :func:`_two_tier_select`,
+    applied to an already NMS'd low-threshold score map."""
     s_hi = jnp.where(s_lo > threshold_high, s_lo, 0.0)
     cs = cell_size
-    h, w = gray.shape
+    h, w = s_lo.shape
     gy, gx = -(-h // cs), -(-w // cs)
     # Top-left-anchored cell grid: pad high edges only, so the gate's
     # cells coincide exactly with the selection cells used by
@@ -324,6 +331,7 @@ def fast_harris_cells(
     threshold_low: float = 7.0,
     per_cell: int = 8,
     arc_length: int = 9,
+    sel: jax.Array = None,
 ) -> FastKeypoints:
     """FAST-gated, Harris-RANKED per-cell detection — OpenCV ORB's
     HARRIS_SCORE retainment (FAST proposes, the Harris response at each
@@ -337,8 +345,9 @@ def fast_harris_cells(
     true ranking; candidates closer than range/8190 may swap,
     immaterial to retainment quality).
     """
-    sel = _two_tier_select(gray, threshold_high, threshold_low,
-                           arc_length, cell_size)
+    if sel is None:
+        sel = _two_tier_select(gray, threshold_high, threshold_low,
+                               arc_length, cell_size)
     eligible = sel > 0.0
     hmax = jnp.max(jnp.where(eligible, harris_map, -jnp.inf))
     hmin = jnp.min(jnp.where(eligible, harris_map, jnp.inf))

@@ -441,11 +441,29 @@ def _level_candidates(level_img: jax.Array, budget: int, cfg: OrbConfig):
         # survivors in-cell via the packed reduce_window top-k — no
         # per-keypoint Harris windows and no second top_k stage
         # (PERF_NOTES round 4c).
-        from kornia_tpu.features.fast import fast_harris_cells
+        from kornia_tpu.features.fast import (_two_tier_gate,
+                                              fast_harris_cells)
         from kornia_tpu.features.responses import harris_response
+        from kornia_tpu.utils.tracing import env_variant
 
-        hmap = harris_response(gray_f, k=0.04, block_size=5, sigma=1.0,
-                               grad="central")
+        default = "pallas" if jax.default_backend() == "tpu" else "xla"
+        if env_variant("fast", default) == "pallas":
+            # FAST score+NMS and the dense Harris map in ONE stencil
+            # pass over the VMEM-resident tile (the separate XLA
+            # harris pass costs 0.13 ms across the pyramid, mostly
+            # materialized intermediates — PERF_NOTES round 5c);
+            # bit-identical at every eligible pixel
+            from kornia_tpu.ops.pallas_kernels import fast_score_pallas
+
+            s_lo, hmap = fast_score_pallas(
+                level_img, cfg.fast_threshold_low, 9, nms=True,
+                harris=True)
+            sel = _two_tier_gate(s_lo, cfg.fast_threshold_high,
+                                 cfg.cell_size)
+        else:
+            sel = None
+            hmap = harris_response(gray_f, k=0.04, block_size=5,
+                                   sigma=1.0, grad="central")
         kps = fast_harris_cells(
             level_img,
             hmap,
@@ -453,6 +471,7 @@ def _level_candidates(level_img: jax.Array, budget: int, cfg: OrbConfig):
             threshold_high=cfg.fast_threshold_high,
             threshold_low=cfg.fast_threshold_low,
             per_cell=per_cell,
+            sel=sel,
         )
     else:
         kps = fast_detect_cells(

@@ -139,10 +139,11 @@ def fused_preprocess_pallas(
 
 @functools.partial(jax.jit,
                    static_argnames=("threshold", "arc_length", "nms",
-                                    "border_mask"))
+                                    "border_mask", "harris"))
 def fast_score_pallas(gray: jax.Array, threshold: float = 10.0,
                       arc_length: int = 9, nms: bool = False,
-                      border_mask: "StaticMask | None" = None) -> jax.Array:
+                      border_mask: "StaticMask | None" = None,
+                      harris: bool = False) -> jax.Array:
     """FAST corner response as a row-tiled Pallas stencil (A/B variant of
     features.fast.fast_score, same contract: score = max threshold
     keeping the corner, on pixels passing the contiguous-arc test).
@@ -160,8 +161,25 @@ def fast_score_pallas(gray: jax.Array, threshold: float = 10.0,
     region-of-interest kill (cv2's ``detect(image, mask)`` analogue),
     applied to the score BEFORE the fused NMS exactly like the border
     kill it replaces.
+
+    ``harris=True`` additionally emits the dense Harris response
+    (k=0.04, block 5, σ=1.0 gaussian window, central-difference
+    gradients — exactly features.responses.harris_response's ORB
+    configuration) computed in the SAME pass from the VMEM-resident
+    tile; returns ``(score_map, harris_map)``. Identical to the
+    standalone harris_response at every pixel ≥3 from the border (the
+    only pixels the ORB ranking reads — border pixels see zero-pad
+    here vs edge/reflect there) up to FMA-association ULPs (measured
+    ≤3e-6 relative); the separate XLA harris pass costs 0.13 ms
+    across 8 pyramid levels at 480p, mostly materialized
+    intermediates (PERF_NOTES round 5c).
     """
     from kornia_tpu.features.fast import _RING
+
+    if harris:
+        from kornia_tpu.ops.filters import gaussian_kernel1d
+
+        hkern = np.asarray(gaussian_kernel1d(5, 1.0), np.float64)
 
     h, w = gray.shape
     ext = 1 if nms else 0
@@ -188,8 +206,41 @@ def fast_score_pallas(gray: jax.Array, threshold: float = 10.0,
 
     def kernel(*refs):
         src_ref = refs[0]
-        out_ref = refs[-1]
+        if harris:
+            out_ref, hout_ref = refs[-2], refs[-1]
+        else:
+            out_ref = refs[-1]
         i = pl.program_id(0)
+
+        if harris:
+            # Harris from the same resident tile, replicating
+            # responses.harris_response(grad="central") shift-add
+            # accumulation ORDER exactly (bit-parity at pixels ≥3 from
+            # the border; _conv_sep runs vertical taps ascending, then
+            # horizontal, first term assigned then added)
+            ftile = src_ref[pl.ds(i * row_t, rt_ext + 6), :]
+            r_ = ftile[ext: ext + row_t + 6, :]     # img rows ±3
+            gx_ = 0.5 * (r_[1:-1, 2:] - r_[1:-1, :-2])
+            gy_ = 0.5 * (r_[2:, 1:-1] - r_[:-2, 1:-1])
+
+            def conv5(p):
+                acc = None
+                for ii, kv in enumerate(hkern):
+                    t_ = p[ii: ii + row_t] * jnp.float32(kv)
+                    acc = t_ if acc is None else acc + t_
+                out = None
+                for jj, kv in enumerate(hkern):
+                    t_ = acc[:, halo - 3 + jj: halo - 3 + jj + w] \
+                        * jnp.float32(kv)
+                    out = t_ if out is None else out + t_
+                return out
+
+            sxx = conv5(gx_ * gx_)
+            syy = conv5(gy_ * gy_)
+            sxy = conv5(gx_ * gy_)
+            det_ = sxx * syy - sxy * sxy
+            tr_ = sxx + syy
+            hout_ref[...] = det_ - 0.04 * tr_ * tr_
         # image rows [i·row_t − ext − 3, i·row_t + row_t + ext + 3);
         # image row r lives at g row r + halo, so the slice starts at
         # g row i·row_t (8-aligned, as Mosaic vector loads require)
@@ -254,18 +305,22 @@ def fast_score_pallas(gray: jax.Array, threshold: float = 10.0,
         out_ref[...] = jnp.where(mid >= pooled, mid, 0.0)
 
     operands = (g,) if border_mask is None else (g, m)
+    o_spec = pl.BlockSpec((row_t, w), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    o_shape = jax.ShapeDtypeStruct((h_pad, w), jnp.float32)
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)
                   for _ in operands],
-        out_specs=pl.BlockSpec((row_t, w), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((h_pad, w), jnp.float32),
+        out_specs=(o_spec, o_spec) if harris else o_spec,
+        out_shape=(o_shape, o_shape) if harris else o_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 2**20),
         interpret=_interpret(),
     )(*operands)
+    if harris:
+        return out[0][:h], out[1][:h]
     return out[:h]
 
 

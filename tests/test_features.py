@@ -166,6 +166,28 @@ class TestPairedWindows:
         assert (s_full == s_none).all()
         assert s_left[20, 20] > 0 and s_left[40, 100] == 0.0
 
+    def test_fused_harris_matches_standalone(self, dog_rgb):
+        """fast_score_pallas(harris=True) must equal harris_response
+        (central grad, block 5, σ=1) at every pixel ≥3 from the border
+        — the only pixels ORB's ranking reads — to FMA-association
+        tolerance (the two compilations may fuse multiply-adds
+        differently; measured ≤3e-6 relative)."""
+        from kornia_tpu.ops.pallas_kernels import fast_score_pallas
+        gray = cv2.cvtColor(dog_rgb, cv2.COLOR_RGB2GRAY)
+        g = jnp.asarray(gray)
+        s_fused, h_fused = fast_score_pallas(g, 7.0, 9, nms=True,
+                                             harris=True)
+        s_ref = F._score_nms_dispatch(g, 7.0, 9)
+        h_ref = R.harris_response(g.astype(jnp.float32), k=0.04,
+                                  block_size=5, sigma=1.0,
+                                  grad="central")
+        assert (np.asarray(s_fused) == np.asarray(s_ref)).all()
+        hf = np.asarray(h_fused)[3:-3, 3:-3]
+        hr = np.asarray(h_ref)[3:-3, 3:-3]
+        scale = np.abs(hr).max()
+        np.testing.assert_allclose(hf, hr, rtol=1e-4,
+                                   atol=1e-5 * scale)
+
     def test_orb_paired_vs_unpaired_env(self, dog_rgb, monkeypatch):
         """Full ORB output parity between the paired-window describe
         default and the unpaired env fallback (two keypoints per
