@@ -235,6 +235,27 @@ def _ops():
             a, b, p, lk_params, method="auto").points,
         (jnp.asarray(lk0), jnp.asarray(lk1), jnp.asarray(lk_pts)),
         0.01)
+    # realistic convergent motion (VERDICT r4 item 6): subpixel shift
+    # on the same texture — the batched while_loop exits when ALL
+    # points meet eps, so this measures the practical cost the
+    # adversarial row (a worst-case never-converging batch) bounds
+    lk1c = ndi.shift(lk0, (0.6, -0.4), order=3).astype(np.float32)
+    add("lk_flow_convergent_1024pts_480p",
+        lambda a, b, p: oflow.calc_optical_flow_pyr_lk(
+            a, b, p, lk_params, method="auto").points,
+        (jnp.asarray(lk0), jnp.asarray(lk1c), jnp.asarray(lk_pts)),
+        0.01)
+    # practical static-bound config: max_iters=10 returns flows
+    # identical to max_iters=30 within 1e-4 px on both fixtures
+    # (PERF_NOTES round 5e — on TPU a small STATIC bound beats the
+    # data-dependent while exit, which XLA cannot pipeline)
+    lk_params10 = oflow.PyrLKParams(window=21, max_level=3,
+                                    max_iters=10)
+    add("lk_flow_mi10_1024pts_480p",
+        lambda a, b, p: oflow.calc_optical_flow_pyr_lk(
+            a, b, p, lk_params10, method="auto").points,
+        (jnp.asarray(lk0), jnp.asarray(lk1c), jnp.asarray(lk_pts)),
+        0.01)
 
     return out
 
@@ -252,6 +273,8 @@ _EST_HINTS = {
     "orb_2000kp_480x640": 1.6,
     "hamming_match_1024": 0.15,
     "lk_flow_1024pts_480p": 28.0,
+    "lk_flow_convergent_1024pts_480p": 11.0,
+    "lk_flow_mi10_1024pts_480p": 4.0,
 }
 
 # ops grouped per subprocess: enough isolation that one worker crash
@@ -264,7 +287,8 @@ _GROUPS = [
     ["warp_affine_exact_rot30_1080p", "warp_affine_exact_scale_1080p",
      "remap_undistort_1080p"],
     ["fast_detect_1080p", "orb_2000kp_480x640", "hamming_match_1024",
-     "lk_flow_1024pts_480p"],
+     "lk_flow_1024pts_480p", "lk_flow_convergent_1024pts_480p",
+     "lk_flow_mi10_1024pts_480p"],
 ]
 
 
@@ -321,6 +345,14 @@ def main():
         "unit": "ms",
         "vs_baseline": vs,
         "rows": rows,
+        "protocol_note": (
+            "slope method: K in-program reps, chained dependency, "
+            "full-output fetch; each row is median-of-3 slopes and "
+            "INCLUDES per-iteration dispatch overhead that PERF_NOTES' "
+            "isolated stage slopes exclude — expect rows ~0.02-0.06 ms "
+            "above the stage-sum, and differences within 'spread' are "
+            "not regressions (tunnel jitter; the orb row varies "
+            "~0.1 ms between processes)"),
     }))
 
 

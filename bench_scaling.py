@@ -31,7 +31,7 @@ from jax.sharding import Mesh  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 
-def synth_problem(n_poses=170, n_points=3000, seed=0):
+def synth_problem(n_poses=170, n_points=3000, seed=0, vis=0.2):
     from kornia_tpu.geometry import liegroup as lg
     from kornia_tpu.optim import ba as ba_mod
 
@@ -48,8 +48,8 @@ def synth_problem(n_poses=170, n_points=3000, seed=0):
         pc = np.asarray(lg.se3_apply(jnp.asarray(poses[c])[None],
                                      jnp.asarray(pts)))
         uv = pc[:, :2] / pc[:, 2:] * [k[0, 0], k[1, 1]] + [k[0, 2], k[1, 2]]
-        vis = rng.random(n_points) < 0.2  # ~20% visibility per camera
-        ids = np.nonzero(vis)[0]
+        vis_mask = rng.random(n_points) < vis
+        ids = np.nonzero(vis_mask)[0]
         cams += [c] * len(ids)
         ptid += ids.tolist()
         uvs += list(uv[ids] + rng.normal(0, 0.5, (len(ids), 2)))
@@ -150,13 +150,105 @@ def main():
         print(f"# {solver} compiled collectives (D={d}): {counts}",
               file=sys.stderr)
 
+    weak = weak_scaling(ba_mod, ba_dist, OBS_AXIS, devices)
+    xchg = exchange_skew_bench(devices)
+
     print(json.dumps({
         "metric": "ba_iters_per_sec_by_devices",
         "value": {k: round(v, 2) for k, v in results.items()},
         "unit": "iters/s",
         "collectives_at_d8": collectives,
         "lm_iters": 10,
+        "weak_scaling": weak,
+        "exchange_skew": xchg,
     }))
+
+
+def weak_scaling(ba_mod, ba_dist, OBS_AXIS, devices):
+    """Weak-scaling mode (VERDICT r4 item 5): observations ∝ D so
+    per-device work is constant. On this box all D virtual devices
+    share ONE core, so total work ∝ D means wall time ∝ D is the ideal;
+    the load-bearing signal is eff_weak = D·t(1)/t(D) ≈ 1 — any
+    per-device overhead the distributed program adds with D (bigger
+    collectives, redundant compute) pushes it below 1. On real chips
+    the same program has constant per-device FLOPs and D-independent
+    psum payloads (SCALING_r04 HLO counts), so flat wall time follows
+    from eff_weak ≈ 1 here."""
+    out = {}
+    t1 = None
+    for d in (1, 2, 4, 8):
+        if d > len(devices):
+            break
+        problem, n_obs = synth_problem(vis=0.025 * d, seed=0)
+        sp = ba_mod.BAParams(max_iterations=10, loss="huber",
+                             loss_scale=2.0, solver="dense")
+        mesh = Mesh(np.asarray(devices[:d]), (OBS_AXIS,))
+        sharded = ba_dist.shard_problem_by_keyframe(problem, d)
+        run = lambda: ba_dist.bundle_adjust_schur_dist_kf(
+            sharded, mesh, sp)
+        r = run()
+        jax.block_until_ready(r.final_cost)
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            r = run()
+            jax.block_until_ready(r.final_cost)
+            times.append(time.perf_counter() - t0)
+        dt = min(times)
+        if t1 is None:
+            t1 = dt
+        eff = d * t1 / dt
+        out[f"kf_weak_D{d}"] = {"obs": n_obs, "ms": round(dt * 1e3, 1),
+                                "eff_weak": round(eff, 3)}
+        print(f"# weak kf D={d}: {n_obs} obs, {dt*1e3:.1f} ms, "
+              f"eff_weak={eff:.3f} (ideal 1.0 on shared silicon)",
+              file=sys.stderr)
+    return out
+
+
+def exchange_skew_bench(devices):
+    """Skewed-graph exchange: rounds (ppermute) vs forced uniform
+    all_to_all on a hot-pair co-visibility pattern (VERDICT r4 item 5).
+    On the virtual mesh collectives are memcopies, so time tracks
+    payload bytes — the quantity the rounds layout bounds."""
+    from kornia_tpu.parallel import exchange as ex
+    from kornia_tpu.parallel.mesh import OBS_AXIS
+
+    d = min(8, len(devices))
+    rng = np.random.default_rng(5)
+    hot, cold, pps = 20000, 60, 400
+    src, cam, pt = [], [], []
+    src += [2] * hot
+    cam += list(rng.integers(0, 4, hot))
+    pt += list(rng.integers(5 * pps, 6 * pps, hot))
+    for s in range(d):
+        for t_ in range(d):
+            if (s, t_) == (2, 5):
+                continue
+            src += [s] * cold
+            cam += list(rng.integers(0, 4, cold))
+            pt += list(rng.integers(t_ * pps, (t_ + 1) * pps, cold))
+    m = len(src)
+    uv = rng.random((m, 2)).astype(np.float32)
+    mesh = Mesh(np.asarray(devices[:d]), (OBS_AXIS,))
+    out = {}
+    for mode in ("a2a", "rounds"):
+        plan = ex.build_exchange_plan(
+            np.asarray(src), np.asarray(cam, np.int32), np.asarray(pt),
+            uv, d, pps, mode=mode)
+        run = lambda: ex.exchange_observations(plan, mesh)
+        jax.block_until_ready(run())
+        times = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            jax.block_until_ready(run())
+            times.append(time.perf_counter() - t0)
+        dt = min(times)
+        out[mode] = {"ms": round(dt * 1e3, 2),
+                     "payload_mb": round(plan.payload_bytes() / 2**20, 2)}
+        print(f"# exchange skew {mode}: {dt*1e3:.2f} ms, payload "
+              f"{plan.payload_bytes()/2**20:.2f} MB", file=sys.stderr)
+    return out
 
 
 if __name__ == "__main__":

@@ -1003,17 +1003,24 @@ def _warp_exact_common(img: jax.Array, coefs: jax.Array,
         # relayouts because the lax.switch boundary blocks XLA's
         # transpose-of-transpose fusion (measured 0.18 ms at 1080p).
         xc_chw = jnp.moveaxis(x, -1, 0).astype(jnp.float32)
-        canvas_c = jnp.pad(xc_chw, ((0, 0), (0, s - h), (0, s - w)))
+        # transpose the (h, w) CONTENT before padding to the square
+        # canvas: rot90(pad(P)).T == pad(rot90(P).T) with pads swapped,
+        # so the even-k relayout runs on h·w pixels instead of s²
+        # (1080p: 2.07M vs 3.69M — the transposes around the shear are
+        # relayout-bound, PERF_NOTES round 4e/5d)
+        xT = jnp.swapaxes(xc_chw, 1, 2)
 
-        def _srcT_one(p):
+        def _srcT_one2(p, pt):
+            # returns rot90(pad(p), k).T as pads of flipped content
             return jax.lax.switch(k, [
-                lambda q: q.T,
-                lambda q: q[:, ::-1],                 # rot90(P,1).T
-                lambda q: q.T[::-1, ::-1],            # rot90(P,2).T
-                lambda q: q[::-1, :],                 # rot90(P,3).T
-            ], p)
+                lambda: jnp.pad(pt, ((0, s - w), (0, s - h))),
+                lambda: jnp.pad(p[:, ::-1], ((0, s - h), (s - w, 0))),
+                lambda: jnp.pad(pt[::-1, ::-1],
+                                ((s - w, 0), (s - h, 0))),
+                lambda: jnp.pad(p[::-1, :], ((s - h, 0), (0, s - w))),
+            ])
 
-        chw_t = jax.vmap(_srcT_one)(canvas_c)
+        chw_t = jax.vmap(_srcT_one2)(xc_chw, xT)
 
         # build T = pre-sheared content:
         # T[rho, i] = src'[rho - shift[i], i]
