@@ -15,11 +15,32 @@
 // native and numpy paths stay interchangeable to float roundoff.
 
 #include <algorithm>
+#include <chrono>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <vector>
 
 namespace {
+
+// KORNIA_APRILTAG_PROFILE=1 prints per-substage ms to stderr — the
+// reference's time_stages.rs discipline for the host-bound chunk.
+struct StageClock {
+    bool on;
+    std::chrono::steady_clock::time_point t;
+    StageClock()
+        : on(std::getenv("KORNIA_APRILTAG_PROFILE") != nullptr),
+          t(std::chrono::steady_clock::now()) {}
+    void mark(const char* name) {
+        if (!on) return;
+        auto now = std::chrono::steady_clock::now();
+        std::fprintf(stderr, "# apriltag_mid %s: %.2f ms\n", name,
+                     std::chrono::duration<double, std::milli>(now - t)
+                         .count());
+        t = now;
+    }
+};
 
 struct UF {
     std::vector<int32_t> parent;
@@ -54,39 +75,69 @@ struct BPoint {
 bool fit_quad(const std::vector<float>& px, const std::vector<float>& py,
               float min_tag_area, float* q) {
     const int64_t n = (int64_t)px.size();
-    if (n < 8) return false;
+    if (n < 8 || n >= (1ll << 20)) return false;  // 20-bit sort-key index
     double cx = 0.0, cy = 0.0;
     for (int64_t i = 0; i < n; ++i) { cx += px[i]; cy += py[i]; }
     cx /= (double)n; cy /= (double)n;
 
-    // angular sort around the centroid
-    std::vector<int32_t> order(n);
-    for (int64_t i = 0; i < n; ++i) order[i] = (int32_t)i;
-    std::vector<float> ang(n);
-    for (int64_t i = 0; i < n; ++i)
-        ang[i] = std::atan2((double)py[i] - cy, (double)px[i] - cx);
-    std::sort(order.begin(), order.end(),
-              [&](int32_t a, int32_t b) { return ang[a] < ang[b]; });
+    // angular sort around the centroid. atan2 is replaced by the
+    // order-isomorphic "diamond" pseudo-angle (strictly monotone in
+    // the true angle, so the sorted ORDER — the only thing downstream
+    // math consumes — is identical up to exact-tie permutations),
+    // packed with the index into one u64 so the sort runs on
+    // contiguous integer keys instead of comparator-indirected atan2
+    // values (profiled: the sort+atan2 dominated fit_quad).
+    std::vector<uint64_t> keyed(n);
+    for (int64_t i = 0; i < n; ++i) {
+        const double dx = (double)px[i] - cx;
+        const double dy = (double)py[i] - cy;
+        const double ax_ = std::fabs(dx), ay_ = std::fabs(dy);
+        const double denom = ax_ + ay_;
+        double t = (denom > 0.0) ? dy / denom : 0.0;  // [-1, 1]
+        // quadrant fold: pseudo-angle in [0, 4) ~ CCW from +x
+        double pa;
+        if (dx >= 0.0) pa = (dy >= 0.0) ? t : 4.0 + t;
+        else pa = 2.0 - t;
+        // shift to match atan2's (-pi, pi] branch cut: atan2 order
+        // starts at -pi (pseudo 2..4 then 0..2) — rotate by 2
+        double pb = pa + 2.0;
+        if (pb >= 4.0) pb -= 4.0;
+        const uint64_t kq = (uint64_t)(pb * (double)(1ll << 40));
+        keyed[i] = (kq << 20) | (uint64_t)i;
+    }
+    std::sort(keyed.begin(), keyed.end());
     std::vector<float> x(n), y(n);
     for (int64_t i = 0; i < n; ++i) {
-        x[i] = px[order[i]];
-        y[i] = py[order[i]];
+        const int64_t idx = (int64_t)(keyed[i] & 0xFFFFF);
+        x[i] = px[idx];
+        y[i] = py[idx];
     }
 
     // farthest pair on a <=256-point stride (corners are re-derived
-    // from full-resolution line fits, coarse picks suffice)
+    // from full-resolution line fits, coarse picks suffice). The
+    // samples are COMPACTED first so the O(256²) scan runs on
+    // contiguous memory and vectorizes (the strided double loop paid
+    // a cache miss per access — profiled 130 µs/cluster).
     const int64_t stride = std::max<int64_t>(1, n / 256);
     int64_t ia = 0, ib = 0;
     {
+        float sxp[256], syp[256];
+        int64_t idxs[256];
+        int64_t ns = 0;
+        for (int64_t i = 0; i < n && ns < 256; i += stride) {
+            sxp[ns] = x[i]; syp[ns] = y[i]; idxs[ns] = i; ++ns;
+        }
         double best = -1.0;
-        for (int64_t i = 0; i < n; i += stride) {
-            for (int64_t j = i + stride; j < n; j += stride) {
-                const double dx = (double)x[i] - x[j];
-                const double dy = (double)y[i] - y[j];
+        int64_t bi = 0, bj = 0;
+        for (int64_t i = 0; i < ns; ++i) {
+            for (int64_t j = i + 1; j < ns; ++j) {
+                const double dx = (double)sxp[i] - sxp[j];
+                const double dy = (double)syp[i] - syp[j];
                 const double d = dx * dx + dy * dy;
-                if (d > best) { best = d; ia = i; ib = j; }
+                if (d > best) { best = d; bi = i; bj = j; }
             }
         }
+        ia = idxs[bi]; ib = idxs[bj];
     }
     const double ax = x[ia], ay = y[ia], bx = x[ib], by = y[ib];
     double smax = -1e30, smin = 1e30;
@@ -112,17 +163,25 @@ bool fit_quad(const std::vector<float>& px, const std::vector<float>& py,
         int64_t trim = std::max<int64_t>(1, len / 8);
         int64_t lo = 0, hi = len;              // [lo, hi) into the arc
         if (len > 2 * trim + 2) { lo = trim; hi = len - trim; }
+        // two contiguous ranges instead of a %n per element (the arc
+        // [a+lo, a+hi) may wrap once)
+        const int64_t w0 = a + lo, w1 = a + hi;
+        const int64_t r0a = std::min<int64_t>(w0, n);
+        const int64_t r0b = std::min<int64_t>(w1, n);
         double mx = 0.0, my = 0.0;
-        for (int64_t t = lo; t < hi; ++t) {
-            const int64_t idx = (a + t) % n;
-            mx += x[idx]; my += y[idx];
-        }
+        for (int64_t t = r0a; t < r0b; ++t) { mx += x[t]; my += y[t]; }
+        for (int64_t t = std::max<int64_t>(w0 - n, 0);
+             t < w1 - n; ++t) { mx += x[t]; my += y[t]; }
         const double cnt = (double)(hi - lo);
         mx /= cnt; my /= cnt;
         double sxx = 0.0, syy = 0.0, sxy = 0.0;
-        for (int64_t t = lo; t < hi; ++t) {
-            const int64_t idx = (a + t) % n;
-            const double dx = x[idx] - mx, dy = y[idx] - my;
+        for (int64_t t = r0a; t < r0b; ++t) {
+            const double dx = x[t] - mx, dy = y[t] - my;
+            sxx += dx * dx; syy += dy * dy; sxy += dx * dy;
+        }
+        for (int64_t t = std::max<int64_t>(w0 - n, 0);
+             t < w1 - n; ++t) {
+            const double dx = x[t] - mx, dy = y[t] - my;
             sxx += dx * dx; syy += dy * dy; sxy += dx * dy;
         }
         const double theta = 0.5 * std::atan2(2.0 * sxy, sxx - syy);
@@ -183,6 +242,7 @@ int64_t kornia_apriltag_quads(const uint8_t* threshim, int64_t h,
                               float* quads_out, int64_t max_quads) {
     if (h <= 0 || w <= 0 || h * w > (int64_t)1 << 33) return -1;
     const int64_t n = h * w;
+    StageClock clk;
 
     // ---- CCL over equal-valued classes: 4-connectivity, plus top
     // diagonals for WHITE (255) — the apriltag C library's rule
@@ -206,6 +266,7 @@ int64_t kornia_apriltag_quads(const uint8_t* threshim, int64_t h,
             }
         }
     }
+    clk.mark("ccl_unite");
     std::vector<int32_t> labels(n, 0);
     {
         std::vector<int32_t> remap(n, 0);
@@ -217,6 +278,7 @@ int64_t kornia_apriltag_quads(const uint8_t* threshim, int64_t h,
             labels[i] = remap[root];
         }
     }
+    clk.mark("ccl_relabel");
 
     // ---- boundary points between black and white components
     std::vector<BPoint> pts;
@@ -250,11 +312,13 @@ int64_t kornia_apriltag_quads(const uint8_t* threshim, int64_t h,
             }
         }
     }
+    clk.mark("boundary_scan");
     if (pts.empty()) return 0;
     std::sort(pts.begin(), pts.end(),
               [](const BPoint& a, const BPoint& b) {
                   return a.key < b.key;
               });
+    clk.mark("cluster_sort");
 
     // ---- per-cluster filter + quad fit
     int64_t nq = 0;
@@ -289,6 +353,7 @@ int64_t kornia_apriltag_quads(const uint8_t* threshim, int64_t h,
         }
         s = e;
     }
+    clk.mark("filter_quadfit");
     return nq;
 }
 
