@@ -197,8 +197,11 @@ def _fit_quad(px: np.ndarray, py: np.ndarray,
     # 640 ms/frame at 113 clusters) is unnecessary.
     # subsample the farthest-pair search on big clusters (the corners
     # are re-derived from full-resolution line fits below, so coarse
-    # initial picks are fine); keeps the pairwise matrix <= 256^2
-    stride = max(1, n // 256)
+    # initial picks are fine); ceil-stride caps the pairwise matrix at
+    # 192² (the floor-stride 256-target admitted up to 334 samples —
+    # the O(ns²) scan was the largest fit_quad substage, PERF_NOTES
+    # round 5g; must match apriltag_mid.cpp's stride exactly)
+    stride = max(1, -(-n // 192))
     cand = np.arange(0, n, stride)
     xc, yc_ = x[cand], y[cand]
     da = (xc[:, None] - xc[None, :]) ** 2 + (yc_[:, None] - yc_[None, :]) ** 2

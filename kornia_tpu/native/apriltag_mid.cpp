@@ -19,6 +19,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
+#include <cstring>
 #include <cstdlib>
 #include <vector>
 
@@ -80,30 +81,22 @@ bool fit_quad(const std::vector<float>& px, const std::vector<float>& py,
     for (int64_t i = 0; i < n; ++i) { cx += px[i]; cy += py[i]; }
     cx /= (double)n; cy /= (double)n;
 
-    // angular sort around the centroid. atan2 is replaced by the
-    // order-isomorphic "diamond" pseudo-angle (strictly monotone in
-    // the true angle, so the sorted ORDER — the only thing downstream
-    // math consumes — is identical up to exact-tie permutations),
-    // packed with the index into one u64 so the sort runs on
-    // contiguous integer keys instead of comparator-indirected atan2
-    // values (profiled: the sort+atan2 dominated fit_quad).
+    // angular sort around the centroid: same atan2 angles (and so the
+    // exact numpy-mirror ORDER), but packed as order-preserving float
+    // bits + index into one u64 so the sort runs on contiguous
+    // integer keys instead of a comparator-indirected float array
+    // (ties — exactly equal angles — break by index instead of
+    // std::sort's arbitrary unstable order; all downstream math
+    // consumes only the order).
     std::vector<uint64_t> keyed(n);
     for (int64_t i = 0; i < n; ++i) {
-        const double dx = (double)px[i] - cx;
-        const double dy = (double)py[i] - cy;
-        const double ax_ = std::fabs(dx), ay_ = std::fabs(dy);
-        const double denom = ax_ + ay_;
-        double t = (denom > 0.0) ? dy / denom : 0.0;  // [-1, 1]
-        // quadrant fold: pseudo-angle in [0, 4) ~ CCW from +x
-        double pa;
-        if (dx >= 0.0) pa = (dy >= 0.0) ? t : 4.0 + t;
-        else pa = 2.0 - t;
-        // shift to match atan2's (-pi, pi] branch cut: atan2 order
-        // starts at -pi (pseudo 2..4 then 0..2) — rotate by 2
-        double pb = pa + 2.0;
-        if (pb >= 4.0) pb -= 4.0;
-        const uint64_t kq = (uint64_t)(pb * (double)(1ll << 40));
-        keyed[i] = (kq << 20) | (uint64_t)i;
+        const float a = (float)std::atan2((double)py[i] - cy,
+                                          (double)px[i] - cx);
+        uint32_t u;
+        static_assert(sizeof(float) == 4, "f32");
+        std::memcpy(&u, &a, 4);
+        u = (u & 0x80000000u) ? ~u : (u | 0x80000000u);
+        keyed[i] = ((uint64_t)u << 20) | (uint64_t)i;
     }
     std::sort(keyed.begin(), keyed.end());
     std::vector<float> x(n), y(n);
@@ -113,19 +106,20 @@ bool fit_quad(const std::vector<float>& px, const std::vector<float>& py,
         y[i] = py[idx];
     }
 
-    // farthest pair on a <=256-point stride (corners are re-derived
-    // from full-resolution line fits, coarse picks suffice). The
-    // samples are COMPACTED first so the O(256²) scan runs on
-    // contiguous memory and vectorizes (the strided double loop paid
-    // a cache miss per access — profiled 130 µs/cluster).
-    const int64_t stride = std::max<int64_t>(1, n / 256);
+    // farthest pair on a <=192-point ceil-stride (corners are
+    // re-derived from full-resolution line fits, coarse picks
+    // suffice; must match detector._fit_quad's stride exactly). The
+    // samples are COMPACTED first so the O(ns²) scan runs on
+    // contiguous memory — the strided double loop paid a cache miss
+    // per access, and this scan was the largest fit_quad substage.
+    const int64_t stride = std::max<int64_t>(1, (n + 191) / 192);
     int64_t ia = 0, ib = 0;
     {
-        float sxp[256], syp[256];
-        int64_t idxs[256];
-        int64_t ns = 0;
-        for (int64_t i = 0; i < n && ns < 256; i += stride) {
-            sxp[ns] = x[i]; syp[ns] = y[i]; idxs[ns] = i; ++ns;
+        const int64_t ns = (n + stride - 1) / stride;  // all multiples
+        std::vector<float> sxp(ns), syp(ns);
+        for (int64_t k = 0; k < ns; ++k) {
+            sxp[k] = x[k * stride];
+            syp[k] = y[k * stride];
         }
         double best = -1.0;
         int64_t bi = 0, bj = 0;
@@ -137,7 +131,7 @@ bool fit_quad(const std::vector<float>& px, const std::vector<float>& py,
                 if (d > best) { best = d; bi = i; bj = j; }
             }
         }
-        ia = idxs[bi]; ib = idxs[bj];
+        ia = bi * stride; ib = bj * stride;
     }
     const double ax = x[ia], ay = y[ia], bx = x[ib], by = y[ib];
     double smax = -1e30, smin = 1e30;
