@@ -47,6 +47,11 @@ def run_tum(args):
             for kf in sys_.map.keyframes])
         ate = slam.absolute_trajectory_error(est_c, gt_c)
         print(f"ATE RMSE: {ate.rmse:.4f} m (scale {ate.scale:.3f})")
+    if args.viz:
+        from kornia_tpu.utils.viz import slam_viz
+
+        slam_viz(args.viz, sys_, title="slam_demo TUM")
+        print(f"wrote {args.viz}")
 
 
 def run_synthetic(args):
@@ -93,6 +98,12 @@ def run_synthetic(args):
     ate = slam.absolute_trajectory_error(est_c, gt_c)
     print(f"keyframes {len(kf_frames)}, map points {sys_.map.n_points}, "
           f"ATE RMSE {ate.rmse:.4f} (radius 3.0)")
+    if args.viz:
+        from kornia_tpu.utils.viz import slam_viz
+
+        slam_viz(args.viz, sys_, gt_centers=gt_c,
+                 title="slam_demo synthetic circle")
+        print(f"wrote {args.viz}")
 
 
 def main():
@@ -103,6 +114,10 @@ def main():
                    help="run map-wide refinement distributed over an "
                         "N-device mesh (with --cpu: N virtual host "
                         "devices)")
+    p.add_argument("--viz", default=None, metavar="OUT.html",
+                   help="write a self-contained interactive 3-D view "
+                        "of the trajectory/map/loop edges (the rerun "
+                        "bridge equivalent, SURVEY §5.5)")
     args = p.parse_args()
     configure_backend(args)
     if args.tum:

@@ -321,6 +321,23 @@ class TestGlobalBA600:
         assert ate_after < ate_before, (ate_before, ate_after)
 
 
+class TestViz:
+    def test_write_trajectory_html(self, tmp_path):
+        """The rerun-bridge equivalent (SURVEY §5.5): a self-contained
+        HTML view with the trajectory/points/loops embedded."""
+        from kornia_tpu.utils.viz import write_trajectory_html
+
+        rng = np.random.default_rng(0)
+        est = rng.random((12, 3))
+        out = tmp_path / "traj.html"
+        write_trajectory_html(str(out), est, gt_centers=est + 0.01,
+                              points=rng.random((500, 3)),
+                              loop_edges=[(0, 10)])
+        html = out.read_text()
+        assert "<canvas" in html and '"loops": [[0, 10]]' in html
+        assert html.count("[") > 500  # data really embedded
+
+
 class TestCheckpoint:
     def test_roundtrip(self, rng, tmp_path):
         pts, desc = _make_scene(rng, 600)
@@ -423,3 +440,81 @@ class TestRenderedSequence:
         # ATE (sim3-aligned camera centers) small vs the 2.4-unit path
         ate = _kf_ate(sys_, gt, n_frames)
         assert ate < 0.12, ate
+
+    @pytest.mark.slow
+    def test_image_loop_closure_improves_ate(self):
+        """VERDICT r4 item 3: loop closure through the IMAGE path — an
+        out-and-back rendered trajectory revisits its start view, the
+        BoW database (vocabulary trained on the sequence's own ORB
+        descriptors) detects the revisit from images alone, and the
+        loop-triggered global BA measurably improves ATE vs the same
+        run without a vocabulary (prototype: 3 loops, ATE
+        0.0112 → 0.0057)."""
+        import cv2
+
+        rng = np.random.default_rng(11)
+        tex_small = (rng.random((90, 120)) * 255).astype(np.uint8)
+        tex = cv2.resize(tex_small, (1200, 900),
+                         interpolation=cv2.INTER_CUBIC)
+        k = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]])
+        a = np.array([[0.01, 0, -6.0], [0, 0.01, -4.5], [0, 0, 5.0]])
+
+        n_frames = 36
+        half = n_frames // 2
+        gt, frames = [], []
+        for i in range(n_frames):
+            s = i if i < half else (n_frames - 1 - i)  # out and back
+            yaw = 0.004 * i                            # monotone sway
+            r = np.array([[np.cos(yaw), 0, np.sin(yaw)],
+                          [0, 1, 0],
+                          [-np.sin(yaw), 0, np.cos(yaw)]])
+            center = np.array([0.10 * s, 0.012 * s, 0.0])
+            t = -r @ center
+            q = np.asarray(lg.matrix_to_quat(jnp.asarray(r, jnp.float32)))
+            gt.append(np.concatenate([q, t]).astype(np.float64))
+            m = r @ a
+            m[:, 2] += t
+            img = cv2.warpPerspective(tex, k @ m, (640, 480),
+                                      flags=cv2.INTER_LINEAR)
+            noise = rng.normal(0, 2.0, img.shape)
+            frames.append(np.clip(img.astype(np.float64) + noise,
+                                  0, 255).astype(np.uint8))
+        gt = np.stack(gt)
+
+        # vocabulary from the sequence's own descriptors
+        from kornia_tpu.bow import Vocabulary
+        from kornia_tpu.features import orb as O
+        descs = []
+        for f in frames[::6]:
+            feats = O.orb_detect_and_describe(
+                jnp.asarray(f), O.OrbConfig(n_features=500, n_levels=4))
+            msk = np.asarray(feats.mask)
+            descs.append(np.packbits(
+                np.asarray(feats.descriptors)[msk].astype(np.uint8),
+                axis=1))
+        vocab = Vocabulary.build(np.concatenate(descs), k=8, depth=3,
+                                 seed=1)
+
+        def run(v):
+            cfg = slam.SlamConfig(
+                n_features=800, n_levels=4, min_init_matches=40,
+                keyframe_min_interval=2, loop_min_kf_gap=8,
+                loop_min_score=0.10, loop_min_matches=15)
+            s_ = slam.MonocularSlam(np.asarray(k, np.float64), cfg,
+                                    vocabulary=v)
+            loops = []
+            for f in frames:
+                r_ = s_.process_frame(f)
+                if r_.loop_closed_with is not None:
+                    loops.append((r_.frame_idx, r_.loop_closed_with))
+            return s_, loops
+
+        sys_nl, _ = run(None)
+        sys_l, loops = run(vocab)
+        assert loops, "image-level loop closure never fired"
+        # loops must point back to EARLY keyframes (a true revisit)
+        assert min(l[1] for l in loops) < 8, loops
+        ate_l = _kf_ate(sys_l, gt, n_frames)
+        ate_nl = _kf_ate(sys_nl, gt, n_frames)
+        assert ate_l < 0.05, ate_l
+        assert ate_l <= ate_nl * 0.9, (ate_l, ate_nl)
