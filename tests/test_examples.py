@@ -32,6 +32,14 @@ def test_orb_detector():
     assert err < 1.5
 
 
+def test_orb_tracking_live(tmp_path):
+    out_html = str(tmp_path / "tracks.html")
+    out = _run("orb_tracking_live.py", "--frames", "12",
+               "--n-features", "400", "--viz", out_html)
+    assert "tracked matches" in out and "fps" in out
+    assert os.path.exists(out_html)
+
+
 def test_pnp_demo():
     out = _run("pnp_demo.py")
     rot_err = float(out.split("rotation error:")[1].split("°")[0])
