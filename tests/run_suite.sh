@@ -15,6 +15,24 @@ cd "$(dirname "$0")/.."
 fail=0
 for f in tests/test_*.py; do
     echo "=== $f"
+    if [ "$f" = "tests/test_slam.py" ]; then
+        # test_slam accumulates enough BA-scale lax.scan compilations
+        # that the XLA-CPU segfault reproduces even within ONE module
+        # run (observed round 5: TestGlobalBA crashes after two
+        # sibling tests, passes solo) — isolate per test.
+        for t in $(python -m pytest "$f" --collect-only -q \
+                       -p no:cacheprovider "$@" 2>/dev/null \
+                   | grep '::'); do
+            echo "--- $t"
+            python -m pytest "$t" -q -p no:cacheprovider
+            rc=$?
+            if [ $rc -ne 0 ] && [ $rc -ne 5 ]; then
+                echo "!!! $t failed (exit $rc)"
+                fail=1
+            fi
+        done
+        continue
+    fi
     python -m pytest "$f" -q -p no:cacheprovider "$@"
     rc=$?
     # pytest exit 5 = no tests collected (e.g. everything deselected)
